@@ -1,0 +1,94 @@
+"""Pinhole reprojection factors for bundle adjustment.
+
+Reference parity: joeaortiz/gbp `gbp/factors/reprojection.py` (SURVEY.md C7).
+State layout x = [camera (6), landmark (3)] where the camera is a minimal
+world->camera parameterization [omega (angle-axis, 3), translation (3)] updated
+additively (exactly the reference's convention: flat R^6 coords, meas_fn maps
+through the exp map).  h(x) = project(K, R(omega) X + t).
+
+Two variants:
+  * `reprojection()` — shared pinhole intrinsics K = [fx, fy, cx, cy] passed as
+    per-factor args (the reference's TUM-style data).
+  * `bal_reprojection()` — standard BAL convention with per-camera
+    (f, k1, k2) radial distortion and the BAL z-negation.
+
+The analytic Jacobian uses the compact right-Jacobian formula
+d(R(w)p)/dw = -R [p]x Jr(w); it is unit-tested against jax.jacfwd.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gbp_tpu.factors.base import FactorType
+from gbp_tpu.utils.lie import hat3, so3_exp
+
+_CAM_DOF = 6
+
+
+def _right_jacobian_so3(w):
+    """Right Jacobian of SO(3): Jr(w) = I - c1 [w]x + c2 [w]x^2."""
+    theta = jnp.linalg.norm(w, axis=-1)
+    t2 = theta * theta
+    small = jnp.abs(theta) < 1e-4
+    safe_t2 = jnp.where(small, 1.0, t2)
+    safe_t3 = jnp.where(small, 1.0, t2 * theta)
+    c1 = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
+    c2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
+    k = hat3(w)
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye - c1[..., None, None] * k + c2[..., None, None] * (k @ k)
+
+
+def _cam_point(x):
+    """Split x = [omega, t, X]; return (R, Xc = R X + t, X)."""
+    w, t, pt = x[:3], x[3:6], x[6:9]
+    r = so3_exp(w)
+    xc = r @ pt + t
+    return r, xc, pt
+
+
+def reprojection() -> FactorType:
+    """Pinhole reprojection; args = K as [fx, fy, cx, cy]."""
+
+    def meas(x, k):
+        _, xc, _ = _cam_point(x)
+        inv_z = 1.0 / xc[2]
+        return jnp.stack([k[0] * xc[0] * inv_z + k[2], k[1] * xc[1] * inv_z + k[3]])
+
+    def jac(x, k):
+        r, xc, pt = _cam_point(x)
+        fx, fy = k[0], k[1]
+        inv_z = 1.0 / xc[2]
+        # d(pixel)/d(Xc): [2, 3]
+        dpi = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=x.dtype)
+        dpi = dpi * jnp.stack([fx, fy])[:, None] * inv_z
+        dpi = dpi.at[:, 2].set(
+            jnp.stack([-fx * xc[0], -fy * xc[1]]) * inv_z * inv_z
+        )
+        # d(Xc)/d(omega) = -R [pt]x Jr(omega);  d(Xc)/dt = I;  d(Xc)/dX = R.
+        jr = _right_jacobian_so3(x[:3])
+        d_omega = -(r @ hat3(pt) @ jr)
+        dxc = jnp.concatenate([d_omega, jnp.eye(3, dtype=x.dtype), r], axis=-1)  # [3, 9]
+        return dpi @ dxc
+
+    return FactorType(name="reprojection", zdim=2, meas_fn=meas, jac_fn=jac)
+
+
+def bal_reprojection() -> FactorType:
+    """Standard BAL measurement model; args = [f, k1, k2] per camera.
+
+    P = R X + t;  p = -P / P.z;  pixel = f * (1 + k1 r^2 + k2 r^4) * p.
+    """
+
+    def meas(x, cam):
+        _, xc, _ = _cam_point(x)
+        p = -xc[:2] / xc[2]
+        r2 = p[0] * p[0] + p[1] * p[1]
+        distortion = 1.0 + r2 * (cam[1] + cam[2] * r2)
+        return cam[0] * distortion * p
+
+    return FactorType(name="bal_reprojection", zdim=2, meas_fn=meas)
+
+
+CAM_DOF = _CAM_DOF
+LMK_DOF = 3
