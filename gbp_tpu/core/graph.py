@@ -119,7 +119,7 @@ class GraphBuilder:
         n, d = init_means.shape
         if prior_means is None:
             prior_means = init_means
-        prior_means = np.broadcast_to(np.asarray(prior_means, dtype=np.float64), (n, d))
+        prior_means = np.broadcast_to(np.asarray(prior_means, dtype=np.float64), (n, d)).copy()
         if prior_prec is None:
             prior_prec = 0.0
         prior_prec = np.broadcast_to(np.asarray(prior_prec, dtype=np.float64), (n, d)).copy()
@@ -147,7 +147,12 @@ class GraphBuilder:
         if prec is None:
             sigma = np.asarray(sigma, dtype=np.float64)
             prec = 1.0 / (sigma * sigma)
-        prec = np.broadcast_to(np.asarray(prec, dtype=np.float64), z.shape).copy()
+        prec = np.asarray(prec, dtype=np.float64)
+        if prec.ndim == 3:
+            # Full [m, zdim, zdim] measurement information matrices (g2o-style).
+            assert prec.shape == (m, z.shape[1], z.shape[1]), prec.shape
+        else:
+            prec = np.broadcast_to(prec, z.shape).copy()
         conns = [(int(vb), np.asarray(idx, dtype=np.int32)) for vb, idx in connections]
         for _, idx in conns:
             assert idx.shape == (m,), f"adjacency shape {idx.shape} != ({m},)"

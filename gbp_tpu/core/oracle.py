@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gbp_tpu.core.graph import Graph
-from gbp_tpu.core.sweep import GBPState, huber_weight
+from gbp_tpu.core.sweep import GBPState, f32_exact, factor_potential, huber_weight
 
 
 def _voffsets(graph: Graph):
@@ -25,6 +25,7 @@ def _voffsets(graph: Graph):
     return offs, acc
 
 
+@f32_exact
 def dense_joint(graph: Graph, state: GBPState):
     """Assemble (eta [D], lam [D, D]) of the full joint at current linpoints."""
     offs, dim = _voffsets(graph)
@@ -44,8 +45,9 @@ def dense_joint(graph: Graph, state: GBPState):
     for fi, fb in enumerate(graph.fblocks):
         fs = state.f[fi]
         w = huber_weight(fb, fs.r0)
-        f_eta = fs.f_eta * w[:, None]
-        f_lam = fs.f_lam * w[:, None, None]
+        pot_eta, pot_lam = factor_potential(fb, fs)
+        f_eta = pot_eta * w[:, None]
+        f_lam = pot_lam * w[:, None, None]
         gidx = jnp.concatenate(
             [
                 offs[vb] + fb.adj[k][:, None] * fb.dofs[k] + jnp.arange(fb.dofs[k])[None, :]
@@ -58,6 +60,7 @@ def dense_joint(graph: Graph, state: GBPState):
     return eta, lam
 
 
+@f32_exact
 def map_solution(graph: Graph, state: GBPState):
     """Dense MAP means, returned per variable block: tuple of [n, d]."""
     eta, lam = dense_joint(graph, state)
@@ -70,6 +73,7 @@ def map_solution(graph: Graph, state: GBPState):
     return tuple(out)
 
 
+@f32_exact
 def marginal_covariances(graph: Graph, state: GBPState):
     """Exact per-variable marginal covariances (dense inverse), per block."""
     eta, lam = dense_joint(graph, state)

@@ -13,23 +13,52 @@ Algorithm per sweep t (math from arXiv:2107.02308 §3, arXiv:2003.03134 §4):
      warmup counter (C5).
   2. Huber covariance scaling from the residual at the linearization point:
      M = sqrt(r^T Lam_meas r);  w = 2T/M - T^2/M^2 if M > T else 1 (C6).
-  3. Factor-to-variable messages: joint potential + cavity beliefs of the other
-     slots, Schur-marginalized onto the target slot; eta-damped mix with the
-     previous message, undamped for num_undamped_iters sweeps after relin (C3).
+  3. Factor-to-variable messages (two algebraically equivalent forms, below);
+     eta-damped mix with the previous message, undamped for
+     num_undamped_iters sweeps after relin (C3).
   4. Variable belief = prior + segment-sum of incoming messages; means by
      closed-form small solve (C2).
+
+Message forms
+-------------
+'schur' (the reference's formulation): assemble the joint potential
+J^T Lam J + blockdiag(cavities), Schur-marginalize onto the target slot:
+Lam_msg = Lam_aa - Lam_ab Lam_bb^-1 Lam_ba.  Mathematically fine, but in f32
+the subtraction cancels O(prec_meas * J^2) ~ 1e6 rank-deficient terms down to
+an O(cavity) ~ 1 result — the engine NaNs on BA problems within one sweep.
+
+'covariance' (default; derived via the Woodbury push-through identity,
+algebraically identical):
+
+    S_a      = Sigma_meas / w + sum_{s != a} J_s C_s^-1 J_s^T      [z x z]
+    Lam_msg  = J_a^T S_a^-1 J_a
+    eta_msg  = J_a^T S_a^-1 (J_a x0_a + r0 + sum_{s != a} J_s (x0_s - mu_s))
+
+where C_s / mu_s are the cavity precision/mean of slot s and w the Huber
+weight.  S_a is a *sum of PSD terms* — no cancellation, messages are PSD by
+construction, and the per-factor inverse is zdim x zdim (2x2 for reprojection)
+plus one d x d cavity inverse per slot shared across all targets: both more
+stable *and* cheaper than the reference's form.  This is the f32/TPU answer
+to SURVEY.md §7 'Precision'.
 """
 from __future__ import annotations
 
-from typing import Any
+import functools
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 
-from gbp_tpu.core.graph import FactorBlock, Graph, VariableBlock
+from gbp_tpu.core.graph import FactorBlock, Graph
 from gbp_tpu.gaussians import Gaussian
-from gbp_tpu.utils.smalllinalg import sym_inv, sym_solve, symmetrize
+from gbp_tpu.utils.smalllinalg import (
+    bT,
+    bmm,
+    bmv,
+    scaled_sym_inv,
+    scaled_sym_solve,
+    symmetrize,
+)
 
 
 class GBPConfig(flax.struct.PyTreeNode):
@@ -40,16 +69,24 @@ class GBPConfig(flax.struct.PyTreeNode):
     beta: float = 0.01
     num_undamped_iters: int = 6
     min_linear_iters: int = 8
-    # Jitter added to the marginalization pivot block for f32 safety (0 = off).
-    # Static (recompile on change): used in a Python-level branch.
-    pivot_jitter: float = flax.struct.field(pytree_node=False, default=0.0)
+    # Static fields (recompile on change).
+    message_form: str = flax.struct.field(pytree_node=False, default="covariance")
+    # Jitter added to cavity precisions before inversion ('covariance' form)
+    # or to the marginalization pivot ('schur' form); guards f32 indefiniteness.
+    cavity_jitter: float = flax.struct.field(pytree_node=False, default=0.0)
+    # Relative cavity floor: cav_lam += floor * diag(belief_lam).  The cavity
+    # belief - own_msg cancels catastrophically in f32 when the true cavity
+    # (e.g. a 1e-5 prior at a chain end) is below eps32 * message magnitude —
+    # the computed cavity goes indefinite and the sweep NaNs.  Flooring at the
+    # subtraction's roundoff scale restores a valid weak cavity.  None = auto:
+    # 1e-5 for f32, 0 for f64.
+    cavity_floor: float | None = flax.struct.field(pytree_node=False, default=None)
 
 
 class FactorState(flax.struct.PyTreeNode):
     linpoint: jnp.ndarray  # [m, tdof]
-    f_eta: jnp.ndarray  # [m, tdof]      (unscaled potential)
-    f_lam: jnp.ndarray  # [m, tdof, tdof]
-    r0: jnp.ndarray  # [m, zdim]   residual z - h(linpoint)
+    jac: jnp.ndarray  # [m, zdim, tdof]  J at linpoint
+    r0: jnp.ndarray  # [m, zdim]        residual z (-) h(linpoint)
     msg_eta: tuple  # per slot [m, d_k]
     msg_lam: tuple  # per slot [m, d_k, d_k]
     since_relin: jnp.ndarray  # [m] int32, sweeps since last relinearization
@@ -66,6 +103,23 @@ class GBPState(flax.struct.PyTreeNode):
     f: tuple  # tuple[FactorState]
 
 
+def f32_exact(fn):
+    """Run fn's matmuls at true-f32 precision.
+
+    On TPU, f32 dot/einsum default to single-pass bf16 MXU (8-bit mantissa),
+    which destroys the small-matrix algebra in this engine (verified: BA NaNs
+    on-chip while passing on CPU).  'highest' uses multi-pass bf16 ~= f32.
+    The engine's matmuls are all tiny (<= 9x9), so there is no MXU
+    throughput to lose."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 # --- factor-local math ------------------------------------------------------
 
 
@@ -75,23 +129,46 @@ def _vmap_factor(fn, x, args):
 
 
 def linearize_block(fb: FactorBlock, x: jnp.ndarray):
-    """Linearize all factors of a block at x [m, tdof].
-
-    Returns (f_eta, f_lam, r0):
-        Lam_f = J^T diag(prec) J
-        eta_f = J^T diag(prec) (J x0 + r0),   r0 = z (-) h(x0)
-    (reference: Factor.compute_factor; eq.(9-10) of arXiv:1910.14139).
-    """
+    """Linearize all factors of a block at x [m, tdof] -> (jac, r0)."""
     ft = fb.ftype
     dt = x.dtype
     h = _vmap_factor(ft.meas, x, fb.args).astype(dt)  # [m, zdim]
     jac = _vmap_factor(ft.jac, x, fb.args).astype(dt)  # [m, zdim, tdof]
     r0 = jax.vmap(ft.residual)(fb.z, h).astype(dt)  # [m, zdim]
-    jp = jac * fb.prec[:, :, None]  # J^T Lam rows
-    f_lam = jnp.einsum("mzi,mzj->mij", jp, jac)
-    jx = jnp.einsum("mzi,mi->mz", jac, x)
-    f_eta = jnp.einsum("mzi,mz->mi", jp, jx + r0)
-    return f_eta, f_lam, r0
+    return jac, r0
+
+
+def factor_potential(fb: FactorBlock, fs: FactorState):
+    """Assemble the information-form factor potential from the linearization:
+
+        Lam_f = J^T Lam_meas J
+        eta_f = J^T Lam_meas (J x0 + r0)
+
+    (reference: Factor.compute_factor; eq.(9-10) of arXiv:1910.14139).
+    Used by the oracle and the 'schur' message form; the 'covariance' form
+    never materializes it.
+    """
+    jac, x, r0 = fs.jac, fs.linpoint, fs.r0
+    jp = _apply_prec(fb.prec, jac)
+    f_lam = bmm(bT(jp), jac)
+    jx = bmv(jac, x)
+    f_eta = bmv(bT(jp), jx + r0)
+    return f_eta, f_lam
+
+
+def _apply_prec(prec, v):
+    """Apply measurement precision (diag [m, z] or full [m, z, z]) to [m, z, ...]."""
+    if prec.ndim == 2:
+        return v * prec[:, :, None] if v.ndim == 3 else v * prec
+    if v.ndim == 3:
+        return bmm(prec, v)
+    return bmv(prec, v)
+
+
+def _mahalanobis_sq(prec, r):
+    if prec.ndim == 2:
+        return jnp.sum(prec * r * r, axis=-1)
+    return jnp.sum(r * bmv(prec, r), axis=-1)
 
 
 def huber_weight(fb: FactorBlock, r0: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +179,7 @@ def huber_weight(fb: FactorBlock, r0: jnp.ndarray) -> jnp.ndarray:
     """
     if fb.huber is None:
         return jnp.ones(r0.shape[0], dtype=r0.dtype)
-    m2 = jnp.sum(fb.prec * r0 * r0, axis=-1)
+    m2 = _mahalanobis_sq(fb.prec, r0)
     m = jnp.sqrt(jnp.maximum(m2, 1e-12))
     t = jnp.asarray(fb.huber, dtype=r0.dtype)
     w = 2.0 * t / m - (t * t) / (m * m)
@@ -122,55 +199,33 @@ def _relinearize(fb: FactorBlock, fs: FactorState, x: jnp.ndarray, cfg: GBPConfi
     eligible = (dist > cfg.beta) & (fs.since_relin >= cfg.min_linear_iters)
     if active is not None:
         eligible = eligible & active
-    new_eta, new_lam, new_r0 = linearize_block(fb, x)
+    new_jac, new_r0 = linearize_block(fb, x)
     sel = eligible[:, None]
     return fs.replace(
         linpoint=jnp.where(sel, x, fs.linpoint),
-        f_eta=jnp.where(sel, new_eta, fs.f_eta),
-        f_lam=jnp.where(sel[:, :, None], new_lam, fs.f_lam),
+        jac=jnp.where(sel[:, :, None], new_jac, fs.jac),
         r0=jnp.where(sel, new_r0, fs.r0),
         since_relin=jnp.where(eligible, 0, fs.since_relin + 1),
     )
 
 
-def _compute_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
-                      cfg: GBPConfig, active: jnp.ndarray | None) -> FactorState:
-    """Factor -> variable messages for every slot of a block.
-
-    beliefs: per-slot Gaussian (already gathered: eta [m, d_k], lam [m, d_k, d_k]).
-    """
-    m = fb.count
-    offs = fb.offsets
-    w = huber_weight(fb, fs.r0)
-    base_eta = fs.f_eta * w[:, None]
-    base_lam = fs.f_lam * w[:, None, None]
-
-    # Cavity (variable -> factor message) per slot: belief minus the factor's
-    # own previous message to that variable (SURVEY.md C3 step (c)).
-    cav_eta = [beliefs[k].eta - fs.msg_eta[k] for k in range(len(fb.dofs))]
-    cav_lam = [beliefs[k].lam - fs.msg_lam[k] for k in range(len(fb.dofs))]
-
-    # Damping warmup: undamped for num_undamped_iters sweeps after relin.
+def _damping(fs: FactorState, cfg: GBPConfig, dtype):
     damp = jnp.where(
         fs.since_relin >= cfg.num_undamped_iters, cfg.eta_damping, 0.0
-    ).astype(base_eta.dtype)
+    ).astype(dtype)
     ldamp = jnp.where(
         fs.since_relin >= cfg.num_undamped_iters, cfg.lam_damping, 0.0
-    ).astype(base_eta.dtype)
+    ).astype(dtype)
+    return damp, ldamp
 
+
+def _finish_messages(fs: FactorState, raw: list, cfg: GBPConfig,
+                     active: jnp.ndarray | None) -> FactorState:
+    """Apply damping + wildfire mask to freshly computed per-slot messages."""
+    dt = raw[0].eta.dtype
+    damp, ldamp = _damping(fs, cfg, dt)
     new_msg_eta, new_msg_lam = [], []
-    for a, (da, off_a) in enumerate(zip(fb.dofs, offs)):
-        eta = base_eta
-        lam = base_lam
-        for b, (db, off_b) in enumerate(zip(fb.dofs, offs)):
-            if b == a:
-                continue
-            eta = eta.at[:, off_b : off_b + db].add(cav_eta[b])
-            lam = lam.at[:, off_b : off_b + db, off_b : off_b + db].add(cav_lam[b])
-        if cfg.pivot_jitter:
-            tdof = fb.tdof
-            lam = lam + cfg.pivot_jitter * jnp.eye(tdof, dtype=lam.dtype)
-        marg = _marginalize_onto(eta, lam, off_a, da)
+    for a, marg in enumerate(raw):
         me = (1.0 - damp[:, None]) * marg.eta + damp[:, None] * fs.msg_eta[a]
         ml = (1.0 - ldamp[:, None, None]) * marg.lam + ldamp[:, None, None] * fs.msg_lam[a]
         if active is not None:
@@ -180,6 +235,115 @@ def _compute_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
         new_msg_eta.append(me)
         new_msg_lam.append(symmetrize(ml))
     return fs.replace(msg_eta=tuple(new_msg_eta), msg_lam=tuple(new_msg_lam))
+
+
+def _cavity_floor(cfg: GBPConfig, dtype) -> float:
+    if cfg.cavity_floor is not None:
+        return cfg.cavity_floor
+    return 1e-5 if dtype == jnp.float32 else 0.0
+
+
+def _floor_cavity(cav_lam, belief_lam, floor):
+    """cav_lam += floor * diag(belief_lam) on the diagonal (roundoff guard)."""
+    if not floor:
+        return cav_lam
+    d = cav_lam.shape[-1]
+    bdiag = jnp.diagonal(belief_lam, axis1=-2, axis2=-1)
+    idx = jnp.arange(d)
+    return cav_lam.at[..., idx, idx].add(floor * bdiag)
+
+
+def _messages_covariance(fb: FactorBlock, fs: FactorState, beliefs: tuple,
+                         cfg: GBPConfig) -> list:
+    """Covariance-form messages (see module docstring): per-slot Gaussians."""
+    n_slots = len(fb.dofs)
+    zdim = fb.z.shape[-1]
+    dt = fs.r0.dtype
+    floor = _cavity_floor(cfg, dt)
+    w = huber_weight(fb, fs.r0)
+
+    # Per-slot J_s [m, z, d_s] and cavity moments.
+    offs = fb.offsets
+    jacs = [fs.jac[:, :, o : o + d] for o, d in zip(offs, fb.dofs)]
+    x0s = [fs.linpoint[:, o : o + d] for o, d in zip(offs, fb.dofs)]
+    ps, qs = [], []
+    for s in range(n_slots):
+        cav_lam = beliefs[s].lam - fs.msg_lam[s]
+        cav_eta = beliefs[s].eta - fs.msg_eta[s]
+        cav_lam = _floor_cavity(cav_lam, beliefs[s].lam, floor)
+        if cfg.cavity_jitter:
+            cav_lam = cav_lam + cfg.cavity_jitter * jnp.eye(fb.dofs[s], dtype=dt)
+        cav_cov = scaled_sym_inv(cav_lam, fb.dofs[s])  # C_s^-1 (covariance)
+        cav_mean = bmv(cav_cov, cav_eta)
+        jc = bmm(jacs[s], cav_cov)  # [m, z, d]
+        ps.append(bmm(jc, bT(jacs[s])))  # J C^-1 J^T [m, z, z]
+        qs.append(bmv(jacs[s], x0s[s] - cav_mean))
+
+    # Sigma_meas / w  (Huber rescales the measurement covariance up).
+    if fb.prec.ndim == 2:
+        sigma = jnp.zeros((fb.count, zdim, zdim), dt).at[
+            :, jnp.arange(zdim), jnp.arange(zdim)
+        ].set(1.0 / fb.prec)
+    else:
+        sigma = scaled_sym_inv(fb.prec, zdim)
+    sigma = sigma / w[:, None, None]
+
+    out = []
+    for a in range(n_slots):
+        s_mat = sigma
+        u = bmv(jacs[a], x0s[a]) + fs.r0
+        for s in range(n_slots):
+            if s == a:
+                continue
+            s_mat = s_mat + ps[s]
+            u = u + qs[s]
+        s_inv = scaled_sym_inv(symmetrize(s_mat), zdim)  # [m, z, z]
+        sj = bmm(s_inv, jacs[a])  # [m, z, d_a]
+        lam_msg = bmm(bT(jacs[a]), sj)
+        eta_msg = bmv(bT(sj), u)
+        out.append(Gaussian(eta_msg, lam_msg))
+    return out
+
+
+def _messages_schur(fb: FactorBlock, fs: FactorState, beliefs: tuple,
+                    cfg: GBPConfig) -> list:
+    """Reference-form messages: joint potential + cavities, Schur-marginalized."""
+    offs = fb.offsets
+    w = huber_weight(fb, fs.r0)
+    f_eta, f_lam = factor_potential(fb, fs)
+    base_eta = f_eta * w[:, None]
+    base_lam = f_lam * w[:, None, None]
+    floor = _cavity_floor(cfg, f_eta.dtype)
+    cav_eta = [beliefs[k].eta - fs.msg_eta[k] for k in range(len(fb.dofs))]
+    cav_lam = [
+        _floor_cavity(beliefs[k].lam - fs.msg_lam[k], beliefs[k].lam, floor)
+        for k in range(len(fb.dofs))
+    ]
+
+    out = []
+    for a, (da, off_a) in enumerate(zip(fb.dofs, offs)):
+        eta = base_eta
+        lam = base_lam
+        for b, (db, off_b) in enumerate(zip(fb.dofs, offs)):
+            if b == a:
+                continue
+            eta = eta.at[:, off_b : off_b + db].add(cav_eta[b])
+            lam = lam.at[:, off_b : off_b + db, off_b : off_b + db].add(cav_lam[b])
+        if cfg.cavity_jitter:
+            lam = lam + cfg.cavity_jitter * jnp.eye(fb.tdof, dtype=lam.dtype)
+        out.append(_marginalize_onto(eta, lam, off_a, da))
+    return out
+
+
+def _compute_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
+                      cfg: GBPConfig, active: jnp.ndarray | None) -> FactorState:
+    if cfg.message_form == "covariance":
+        raw = _messages_covariance(fb, fs, beliefs, cfg)
+    elif cfg.message_form == "schur":
+        raw = _messages_schur(fb, fs, beliefs, cfg)
+    else:
+        raise ValueError(f"unknown message_form {cfg.message_form!r}")
+    return _finish_messages(fs, raw, cfg, active)
 
 
 def _marginalize_onto(eta, lam, off, d) -> Gaussian:
@@ -195,16 +359,17 @@ def _marginalize_onto(eta, lam, off, d) -> Gaussian:
     lam_aa = lam_p[..., :d, :d]
     lam_ab = lam_p[..., :d, d:]
     lam_bb = lam_p[..., d:, d:]
-    bb_inv = sym_inv(lam_bb, t - d)
-    wmat = lam_ab @ bb_inv
-    lam_m = lam_aa - wmat @ jnp.swapaxes(lam_ab, -1, -2)
-    eta_m = eta_a - jnp.einsum("...ij,...j->...i", wmat, eta_b)
+    bb_inv = scaled_sym_inv(lam_bb, t - d)
+    wmat = bmm(lam_ab, bb_inv)
+    lam_m = lam_aa - bmm(wmat, bT(lam_ab))
+    eta_m = eta_a - bmv(wmat, eta_b)
     return Gaussian(eta_m, lam_m)
 
 
 # --- graph-level steps ------------------------------------------------------
 
 
+@f32_exact
 def update_beliefs(graph: Graph, state: GBPState) -> GBPState:
     """belief = prior (+) sum of factor->variable messages (SURVEY.md C2)."""
     new_v = []
@@ -222,7 +387,7 @@ def update_beliefs(graph: Graph, state: GBPState) -> GBPState:
                 lam = lam + jax.ops.segment_sum(
                     fs.msg_lam[k], fb.adj[k], num_segments=vb.count
                 )
-        mean = sym_solve(lam, eta)
+        mean = scaled_sym_solve(lam, eta)
         new_v.append(VariableState(eta=eta, lam=lam, mean=mean))
     return state.replace(v=tuple(new_v))
 
@@ -235,6 +400,7 @@ def _gather_beliefs(graph: Graph, state: GBPState, fi: int) -> tuple:
     )
 
 
+@f32_exact
 def sweep(graph: Graph, state: GBPState, cfg: GBPConfig,
           active: tuple | None = None) -> GBPState:
     """One synchronous GBP iteration (reference: Graph.synchronous_iteration).
@@ -256,34 +422,7 @@ def sweep(graph: Graph, state: GBPState, cfg: GBPConfig,
     return update_beliefs(graph, state)
 
 
-def init_state(graph: Graph, means: tuple) -> GBPState:
-    """Initial state: beliefs = priors, all factors linearized at `means`,
-    zero messages (reference: graph construction, SURVEY.md §3.2)."""
-    vstates = []
-    for vb, mu in zip(graph.vblocks, means):
-        vstates.append(VariableState(eta=vb.prior_eta, lam=vb.prior_lam, mean=mu))
-    state = GBPState(v=tuple(vstates), f=())
-    fstates = []
-    for fi, fb in enumerate(graph.fblocks):
-        x = jnp.concatenate(
-            [means[vb][fb.adj[k]] for k, vb in enumerate(fb.vblocks)], axis=-1
-        )
-        f_eta, f_lam, r0 = linearize_block(fb, x)
-        dt = f_eta.dtype
-        fstates.append(
-            FactorState(
-                linpoint=x,
-                f_eta=f_eta,
-                f_lam=f_lam,
-                r0=r0,
-                msg_eta=tuple(jnp.zeros((fb.count, d), dt) for d in fb.dofs),
-                msg_lam=tuple(jnp.zeros((fb.count, d, d), dt) for d in fb.dofs),
-                since_relin=jnp.zeros(fb.count, jnp.int32),
-            )
-        )
-    return state.replace(f=tuple(fstates))
-
-
+@f32_exact
 def run(graph: Graph, state: GBPState, cfg: GBPConfig, n_iters: int) -> GBPState:
     """Run n_iters synchronous sweeps inside one compiled loop.
 
@@ -296,6 +435,38 @@ def run(graph: Graph, state: GBPState, cfg: GBPConfig, n_iters: int) -> GBPState
     return jax.lax.fori_loop(0, n_iters, body, state)
 
 
+@jax.jit
+@f32_exact
+def init_state(graph: Graph, means: tuple) -> GBPState:
+    """Initial state: beliefs = priors, all factors linearized at `means`,
+    zero messages (reference: graph construction, SURVEY.md §3.2).  Jitted:
+    eager construction dispatches thousands of tiny ops, which is ~40 s over
+    a remote-TPU link vs ~2 s compiled."""
+    vstates = []
+    for vb, mu in zip(graph.vblocks, means):
+        vstates.append(VariableState(eta=vb.prior_eta, lam=vb.prior_lam, mean=mu))
+    state = GBPState(v=tuple(vstates), f=())
+    fstates = []
+    for fi, fb in enumerate(graph.fblocks):
+        x = jnp.concatenate(
+            [means[vb][fb.adj[k]] for k, vb in enumerate(fb.vblocks)], axis=-1
+        )
+        jac, r0 = linearize_block(fb, x)
+        dt = jac.dtype
+        fstates.append(
+            FactorState(
+                linpoint=x,
+                jac=jac,
+                r0=r0,
+                msg_eta=tuple(jnp.zeros((fb.count, d), dt) for d in fb.dofs),
+                msg_lam=tuple(jnp.zeros((fb.count, d, d), dt) for d in fb.dofs),
+                since_relin=jnp.zeros(fb.count, jnp.int32),
+            )
+        )
+    return state.replace(f=tuple(fstates))
+
+
+@f32_exact
 def energy(graph: Graph, state: GBPState) -> jnp.ndarray:
     """Total (Huber-adjusted) energy at the current belief means.
 
@@ -306,7 +477,7 @@ def energy(graph: Graph, state: GBPState) -> jnp.ndarray:
         x = gather_linpoint(graph, state, fi)
         h = _vmap_factor(fb.ftype.meas, x, fb.args)
         r = jax.vmap(fb.ftype.residual)(fb.z, h)
-        m2 = jnp.sum(fb.prec * r * r, axis=-1)
+        m2 = _mahalanobis_sq(fb.prec, r)
         if fb.huber is None:
             e = 0.5 * m2
         else:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from gbp_tpu.factors.base import FactorType
 from gbp_tpu.utils.lie import hat3, so3_exp
+from gbp_tpu.utils.smalllinalg import bmm, bmv
 
 _CAM_DOF = 6
 
@@ -36,14 +37,14 @@ def _right_jacobian_so3(w):
     c2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
     k = hat3(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye - c1[..., None, None] * k + c2[..., None, None] * (k @ k)
+    return eye - c1[..., None, None] * k + c2[..., None, None] * bmm(k, k)
 
 
 def _cam_point(x):
     """Split x = [omega, t, X]; return (R, Xc = R X + t, X)."""
     w, t, pt = x[:3], x[3:6], x[6:9]
     r = so3_exp(w)
-    xc = r @ pt + t
+    xc = bmv(r, pt) + t
     return r, xc, pt
 
 
@@ -67,11 +68,45 @@ def reprojection() -> FactorType:
         )
         # d(Xc)/d(omega) = -R [pt]x Jr(omega);  d(Xc)/dt = I;  d(Xc)/dX = R.
         jr = _right_jacobian_so3(x[:3])
-        d_omega = -(r @ hat3(pt) @ jr)
+        d_omega = -bmm(bmm(r, hat3(pt)), jr)
         dxc = jnp.concatenate([d_omega, jnp.eye(3, dtype=x.dtype), r], axis=-1)  # [3, 9]
-        return dpi @ dxc
+        return bmm(dpi, dxc)
 
     return FactorType(name="reprojection", zdim=2, meas_fn=meas, jac_fn=jac)
+
+
+def reprojection_normalized() -> FactorType:
+    """Pinhole reprojection in NORMALIZED image coordinates; args = None.
+
+    h(x) = [Xc.x/Xc.z, Xc.y/Xc.z] with measurements pre-normalized as
+    z = (pixel - principal_point) / focal and sigma = pix_sigma / focal.
+
+    Identical Mahalanobis geometry to `reprojection()` (same posterior), but
+    Jacobian entries are O(1/depth) instead of O(focal/depth): the factor
+    precision J^T Lam J spans ~focal^2 less dynamic range, which is the
+    difference between f32 message Schur complements being garbage (indefinite
+    beliefs, NaNs on sweep 1) and accurate to ~1e-5.  This is the f32/TPU
+    answer to SURVEY.md §7 'Precision'.
+    """
+
+    def meas(x, args):
+        del args
+        _, xc, _ = _cam_point(x)
+        return xc[:2] / xc[2]
+
+    def jac(x, args):
+        del args
+        r, xc, pt = _cam_point(x)
+        inv_z = 1.0 / xc[2]
+        dpi = jnp.zeros((2, 3), dtype=x.dtype)
+        dpi = dpi.at[0, 0].set(inv_z).at[1, 1].set(inv_z)
+        dpi = dpi.at[:, 2].set(-xc[:2] * inv_z * inv_z)
+        jr = _right_jacobian_so3(x[:3])
+        d_omega = -bmm(bmm(r, hat3(pt)), jr)
+        dxc = jnp.concatenate([d_omega, jnp.eye(3, dtype=x.dtype), r], axis=-1)
+        return bmm(dpi, dxc)
+
+    return FactorType(name="reprojection_normalized", zdim=2, meas_fn=meas, jac_fn=jac)
 
 
 def bal_reprojection() -> FactorType:

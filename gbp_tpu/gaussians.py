@@ -15,7 +15,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from gbp_tpu.utils.smalllinalg import sym_inv, sym_solve
+from gbp_tpu.utils.smalllinalg import bT, bmm, bmv, sym_inv, sym_solve
 
 
 class Gaussian(NamedTuple):
@@ -45,7 +45,7 @@ class Gaussian(NamedTuple):
 
 def from_moments(mu: jnp.ndarray, sigma: jnp.ndarray) -> Gaussian:
     lam = sym_inv(sigma)
-    return Gaussian(jnp.einsum("...ij,...j->...i", lam, mu), lam)
+    return Gaussian(bmv(lam, mu), lam)
 
 
 def isotropic(mu: jnp.ndarray, prec: jnp.ndarray) -> Gaussian:
@@ -91,7 +91,7 @@ def marginalize(eta: jnp.ndarray, lam: jnp.ndarray, keep_start: int, keep_dim: i
     lam_bb = lam_p[..., kd:, kd:]
 
     bb_inv = sym_inv(lam_bb, t - kd)
-    w = lam_ab @ bb_inv                                   # [..., kd, t-kd]
-    lam_m = lam_aa - w @ jnp.swapaxes(lam_ab, -1, -2)
-    eta_m = eta_a - jnp.einsum("...ij,...j->...i", w, eta_b)
+    w = bmm(lam_ab, bb_inv)                               # [..., kd, t-kd]
+    lam_m = lam_aa - bmm(w, bT(lam_ab))
+    eta_m = eta_a - bmv(w, eta_b)
     return Gaussian(eta_m, lam_m)

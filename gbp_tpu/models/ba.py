@@ -1,0 +1,255 @@
+"""Bundle adjustment on BAL-style problems (BASELINE.json configs[2..3]).
+
+Reference parity: joeaortiz/gbp `gbp/gbp_ba.py` (SURVEY.md C9):
+  * one 6-dof variable per camera ([omega, t], world->camera), one 3-dof per
+    landmark, one reprojection factor per observation;
+  * strong prior anchoring the gauge (first camera; optionally the scale via a
+    second anchor), weak priors elsewhere;
+  * `weaken_priors` progressively relaxes the artificial strong priors over
+    early sweeps so they don't bias the solution (arXiv:2003.03134 §4
+    "prior scheduling");
+  * average reprojection error metric over all factors.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gbp_tpu.core.graph import Graph, GraphBuilder
+from gbp_tpu.core.sweep import GBPState, _vmap_factor, gather_linpoint
+from gbp_tpu.factors import reprojection
+from gbp_tpu.utils.lie import so3_exp, so3_log
+
+CAM = 0  # variable-block handles returned by build()
+LMK = 1
+
+
+def simulate(
+    n_cams=12,
+    n_lmks=300,
+    pix_sigma=1.0,
+    radius=10.0,
+    fov_frac=0.7,
+    cam_noise=(0.03, 0.08),
+    lmk_noise=0.3,
+    seed=0,
+    k=(500.0, 500.0, 320.0, 240.0),
+):
+    """Synthetic BA scene: cameras on an arc looking at a landmark cloud.
+
+    Returns BAL-style arrays (the same tuple shape the reference's
+    read_balfile produces, SURVEY.md C11): ground-truth + noisy-initial camera
+    and landmark means, pixel observations with ids, shared intrinsics K.
+    """
+    rng = np.random.default_rng(seed)
+    k_arr = np.asarray(k)
+
+    # Ground-truth cameras: positions on an arc, looking at the origin.
+    angles = np.linspace(0, fov_frac * 2 * np.pi, n_cams, endpoint=False)
+    centers = np.stack(
+        [radius * np.cos(angles), radius * np.sin(angles), 1.0 + 0.2 * rng.standard_normal(n_cams)],
+        axis=1,
+    )
+    cams = np.zeros((n_cams, 6))
+    for i, c in enumerate(centers):
+        fwd = -c / np.linalg.norm(c)
+        up0 = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up0)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        r_wc = np.stack([right, up, fwd], axis=1)  # cam axes in world coords
+        r = r_wc.T  # world -> cam
+        cams[i, :3] = np.asarray(so3_log(jnp.asarray(r)))
+        cams[i, 3:] = -r @ c
+
+    # Landmarks: cloud around the origin.
+    lmks = rng.standard_normal((n_lmks, 3)) * np.array([3.0, 3.0, 1.5])
+
+    # Observations: every landmark with positive depth and in-image.
+    obs, cam_ids, lmk_ids = [], [], []
+    for i in range(n_cams):
+        r = np.asarray(so3_exp(jnp.asarray(cams[i, :3])))
+        xc = lmks @ r.T + cams[i, 3:]
+        uv = np.stack(
+            [
+                k_arr[0] * xc[:, 0] / xc[:, 2] + k_arr[2],
+                k_arr[1] * xc[:, 1] / xc[:, 2] + k_arr[3],
+            ],
+            axis=1,
+        )
+        vis = (
+            (xc[:, 2] > 0.5)
+            & (uv[:, 0] > 0) & (uv[:, 0] < 2 * k_arr[2])
+            & (uv[:, 1] > 0) & (uv[:, 1] < 2 * k_arr[3])
+        )
+        idx = np.flatnonzero(vis)
+        obs.append(uv[idx] + pix_sigma * rng.standard_normal((idx.size, 2)))
+        cam_ids.append(np.full(idx.size, i))
+        lmk_ids.append(idx)
+    obs = np.concatenate(obs)
+    cam_ids = np.concatenate(cam_ids)
+    lmk_ids = np.concatenate(lmk_ids)
+
+    # Keep only landmarks seen >= 2 times (reference BA graphs are connected).
+    counts = np.bincount(lmk_ids, minlength=n_lmks)
+    keep = counts >= 2
+    remap = -np.ones(n_lmks, dtype=np.int64)
+    remap[keep] = np.arange(keep.sum())
+    sel = keep[lmk_ids]
+    obs, cam_ids, lmk_ids = obs[sel], cam_ids[sel], remap[lmk_ids[sel]]
+    lmks = lmks[keep]
+
+    cam_init = cams + np.concatenate(
+        [cam_noise[0] * rng.standard_normal((n_cams, 3)),
+         cam_noise[1] * rng.standard_normal((n_cams, 3))], axis=1
+    )
+    cam_init[0] = cams[0]  # gauge anchor starts exactly at its prior
+    lmk_init = lmks + lmk_noise * rng.standard_normal(lmks.shape)
+
+    return dict(
+        cam_truth=cams, lmk_truth=lmks, cam_init=cam_init, lmk_init=lmk_init,
+        obs=obs, cam_ids=cam_ids, lmk_ids=lmk_ids, k=k_arr, pix_sigma=pix_sigma,
+    )
+
+
+def build(
+    sim: dict,
+    pix_sigma=None,
+    huber=None,
+    anchor_prec=(1e5, 1e5),
+    cam_prior_prec=1.0,
+    lmk_prior_prec=1.0,
+    normalized=True,
+    dtype=jnp.float32,
+):
+    """Build the BA factor graph; returns (graph, init_means).
+
+    Priors (SURVEY.md C9): camera 0 anchored strongly (6-dof gauge) with
+    anchor_prec[0]; camera 1 translation anchored with anchor_prec[1] to pin
+    the scale gauge; every other variable gets a medium prior at its initial
+    estimate which `weaken_priors` then decays over early sweeps.
+
+    normalized=True (default, required for f32/TPU runs) builds the graph in
+    normalized image coordinates: z = (pixel - c) / f, sigma = pix_sigma / f.
+    The posterior is identical (same Mahalanobis residuals); only the numeric
+    conditioning changes.  Error metrics still report pixels.
+    """
+    n_cams = sim["cam_init"].shape[0]
+    m = sim["obs"].shape[0]
+    pix_sigma = sim.get("pix_sigma", 1.0) if pix_sigma is None else pix_sigma
+    k_arr = np.asarray(sim["k"], dtype=np.float64)
+
+    b = GraphBuilder(dtype=dtype)
+    cam = b.add_variables("cam", sim["cam_init"], prior_prec=cam_prior_prec)
+    lmk = b.add_variables("lmk", sim["lmk_init"], prior_prec=lmk_prior_prec)
+    b.set_prior(cam, 0, sim["cam_init"][0], anchor_prec[0])
+    if n_cams > 1:
+        prec1 = np.full(6, cam_prior_prec)
+        prec1[3:] = anchor_prec[1]
+        b.set_prior(cam, 1, sim["cam_init"][1], prec1)
+    conns = [(cam, sim["cam_ids"]), (lmk, sim["lmk_ids"])]
+    if normalized:
+        z = (sim["obs"] - k_arr[2:]) / k_arr[:2]
+        sigma = np.broadcast_to(pix_sigma / k_arr[:2], z.shape)
+        b.add_factors("reproj", reprojection.reprojection_normalized(), conns,
+                      z, sigma=sigma,
+                      huber=huber)
+    else:
+        k_per_obs = np.tile(k_arr, (m, 1))
+        b.add_factors("reproj", reprojection.reprojection(), conns, sim["obs"],
+                      sigma=pix_sigma, args=k_per_obs, huber=huber)
+    graph, means = b.build()
+    return graph, means
+
+
+def weaken_priors(graph: Graph, factor=0.1, keep=((0, (0, 1)),)) -> Graph:
+    """Scale all variable priors by `factor`, except listed anchors.
+
+    keep: iterable of (vblock_index, variable_indices) to leave untouched.
+    Reference: BAFactorGraph.weaken_priors (SURVEY.md C9).  Returns a new
+    Graph (functional update); beliefs pick up the change at the next sweep's
+    belief update.
+    """
+    keep_map = {vb: np.asarray(ids) for vb, ids in keep}
+    new_vblocks = []
+    for vi, vb in enumerate(graph.vblocks):
+        scale = jnp.full((vb.count,), factor, dtype=vb.prior_eta.dtype)
+        if vi in keep_map:
+            scale = scale.at[keep_map[vi]].set(1.0)
+        new_vblocks.append(
+            vb.replace(
+                prior_eta=vb.prior_eta * scale[:, None],
+                prior_lam=vb.prior_lam * scale[:, None, None],
+            )
+        )
+    return graph.replace(vblocks=tuple(new_vblocks))
+
+
+def align_sim3(src: np.ndarray, dst: np.ndarray):
+    """Umeyama similarity alignment: returns s, R, t with dst ~ s R src + t.
+
+    Used for gauge-invariant comparisons: BA has a 7-dof null space (rigid +
+    scale) only softly pinned by priors, so raw state vectors of two equally
+    good solutions differ along it."""
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    cs = src - mu_s
+    cd = dst - mu_d
+    cov = cd.T @ cs / len(src)
+    u, dvals, vt = np.linalg.svd(cov)
+    sgn = np.eye(cov.shape[0])
+    if np.linalg.det(u @ vt) < 0:
+        sgn[-1, -1] = -1
+    rot = u @ sgn @ vt
+    var_s = (cs * cs).sum() / len(src)
+    scale = float(np.trace(np.diag(dvals) @ sgn) / var_s)
+    t = mu_d - scale * rot @ mu_s
+    return scale, rot, t
+
+
+def apply_sim3(scale, rot, t, pts):
+    return scale * np.asarray(pts) @ np.asarray(rot).T + np.asarray(t)
+
+
+def with_means(state: GBPState, means: tuple) -> GBPState:
+    """Return a state whose belief means are replaced (for metric evaluation)."""
+    new_v = tuple(
+        vs.replace(mean=jnp.asarray(mu)) for vs, mu in zip(state.v, means)
+    )
+    return state.replace(v=new_v)
+
+
+def reprojection_errors(graph: Graph, state: GBPState, fi: int = 0) -> jnp.ndarray:
+    """Per-factor reprojection error ||z - h(mean)||_2 in pixels [m].
+
+    For normalized-coordinate graphs the residual is rescaled by the focal
+    lengths recovered from the measurement sigmas (prec = (f/pix_sigma)^2 is
+    not invertible without pix_sigma, so we carry the scale explicitly when
+    the factor type is normalized)."""
+    fb = graph.fblocks[fi]
+    x = gather_linpoint(graph, state, fi)
+    h = _vmap_factor(fb.ftype.meas, x, fb.args)
+    r = jax.vmap(fb.ftype.residual)(fb.z, h)
+    return jnp.linalg.norm(r, axis=-1)
+
+
+def reprojection_errors_px(graph: Graph, state: GBPState, k, fi: int = 0) -> jnp.ndarray:
+    """Pixel-space reprojection errors for normalized-coordinate graphs."""
+    fb = graph.fblocks[fi]
+    x = gather_linpoint(graph, state, fi)
+    h = _vmap_factor(fb.ftype.meas, x, fb.args)
+    r = jax.vmap(fb.ftype.residual)(fb.z, h)
+    if fb.ftype.name == "reprojection_normalized":
+        r = r * jnp.asarray(k[:2], dtype=r.dtype)
+    return jnp.linalg.norm(r, axis=-1)
+
+
+def avg_reprojection_error(graph: Graph, state: GBPState, fi: int = 0, k=None) -> jnp.ndarray:
+    """The reference's `are()` metric in pixels (SURVEY.md C9).
+
+    Pass k (intrinsics [fx, fy, cx, cy]) for normalized-coordinate graphs."""
+    if k is not None:
+        return jnp.mean(reprojection_errors_px(graph, state, k, fi))
+    return jnp.mean(reprojection_errors(graph, state, fi))

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from gbp_tpu.utils.smalllinalg import bmm, bmv
+
 _EPS = 1e-8
 
 
@@ -47,7 +49,7 @@ def so3_exp(w):
     sinc, cosc, _ = _theta_coeffs(t2)
     k = hat3(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
-    return eye + sinc[..., None, None] * k + cosc[..., None, None] * (k @ k)
+    return eye + sinc[..., None, None] * k + cosc[..., None, None] * bmm(k, k)
 
 
 def so3_log(r):
@@ -78,14 +80,14 @@ def _left_jacobian(w):
     _, cosc, cc = _theta_coeffs(t2)
     k = hat3(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
-    return eye + cosc[..., None, None] * k + cc[..., None, None] * (k @ k)
+    return eye + cosc[..., None, None] * k + cc[..., None, None] * bmm(k, k)
 
 
 def se3_exp(xi):
     """se(3) twist [..., 6] (rho, omega) -> (R [..., 3, 3], t [..., 3])."""
     rho, w = xi[..., :3], xi[..., 3:]
     r = so3_exp(w)
-    t = jnp.einsum("...ij,...j->...i", _left_jacobian(w), rho)
+    t = bmv(_left_jacobian(w), rho)
     return r, t
 
 
@@ -93,7 +95,7 @@ def se3_log(r, t):
     """(R, t) -> twist [..., 6] (rho, omega)."""
     w = so3_log(r)
     v_inv = jnp.linalg.inv(_left_jacobian(w))
-    rho = jnp.einsum("...ij,...j->...i", v_inv, t)
+    rho = bmv(v_inv, t)
     return jnp.concatenate([rho, w], axis=-1)
 
 
@@ -104,7 +106,7 @@ def transform_point(w_t, x):
     [omega (angle-axis, 3), translation (3)], mapping world -> camera frame.
     """
     r = so3_exp(w_t[..., :3])
-    return jnp.einsum("...ij,...j->...i", r, x) + w_t[..., 3:]
+    return bmv(r, x) + w_t[..., 3:]
 
 
 # --- SE(2) -----------------------------------------------------------------

@@ -26,6 +26,33 @@ import jax
 import jax.numpy as jnp
 
 
+def bmm(a, b):
+    """Batched tiny-matrix product [..., i, k] x [..., k, j] -> [..., i, j].
+
+    Written as broadcast-multiply + sum (NOT jnp.matmul/einsum) deliberately:
+    XLA lowers dots to the MXU, whose f32 default on TPU is single-pass bf16
+    (8-bit mantissa) — numerically fatal for this engine's cancellation-heavy
+    algebra — and whose 128x128 tiles are ~99% padding for d <= 9 operands.
+    The VPU runs this form in true f32 and XLA fuses the sum, so it is both
+    exact and faster here.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def bmv(a, v):
+    """Batched tiny matrix-vector product [..., i, k] x [..., k] -> [..., i]."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
+def bvm(v, a):
+    """Batched tiny vector-matrix product [..., k] x [..., k, j] -> [..., j]."""
+    return jnp.sum(v[..., :, None] * a, axis=-2)
+
+
+def bT(a):
+    return jnp.swapaxes(a, -1, -2)
+
+
 def _inv1(a):
     return 1.0 / a
 
@@ -87,12 +114,12 @@ def _sym_inv_fn(d: int):
         q = a[..., :d1, d1:]
         s = a[..., d1:, d1:]
         p_inv = inv_p(p)
-        pq = p_inv @ q                      # [..., d1, d2]
-        schur = s - jnp.swapaxes(q, -1, -2) @ pq
+        pq = bmm(p_inv, q)                  # [..., d1, d2]
+        schur = s - bmm(bT(q), pq)
         schur_inv = inv_s(schur)
-        top_right = -pq @ schur_inv          # [..., d1, d2]
-        top_left = p_inv + pq @ schur_inv @ jnp.swapaxes(pq, -1, -2)
-        bottom_left = jnp.swapaxes(top_right, -1, -2)
+        top_right = -bmm(pq, schur_inv)      # [..., d1, d2]
+        top_left = p_inv + bmm(bmm(pq, schur_inv), bT(pq))
+        bottom_left = bT(top_right)
         top = jnp.concatenate([top_left, top_right], axis=-1)
         bottom = jnp.concatenate([bottom_left, schur_inv], axis=-1)
         return jnp.concatenate([top, bottom], axis=-2)
@@ -120,8 +147,43 @@ def sym_solve(a, b):
     if d == 1:
         return b / a[..., 0]
     inv = sym_inv(a, d)
-    return jnp.einsum("...ij,...j->...i", inv, b)
+    return bmv(inv, b)
 
 
 def symmetrize(a):
     return 0.5 * (a + jnp.swapaxes(a, -1, -2))
+
+
+def _jacobi_scale(a):
+    """d = sqrt(diag(a)) clamped away from zero; for D^-1 A D^-1 normalization."""
+    diag = jnp.diagonal(a, axis1=-2, axis2=-1)
+    return jnp.sqrt(jnp.maximum(diag, jnp.asarray(1e-30, dtype=a.dtype)))
+
+
+def scaled_sym_inv(a, d: int | None = None):
+    """f32-safe inverse: Jacobi-normalize (unit diagonal), invert, un-normalize.
+
+    GBP joint blocks mix precisions spanning ~1e10 dynamic range (strong gauge
+    anchors x focal-length-squared reprojection terms); the raw adjugate
+    cofactor products overflow/cancel in f32.  D^-1 (D^-1 A D^-1)^-1 D^-1 is
+    algebraically identical and keeps intermediates O(1).
+    """
+    if d is None:
+        d = a.shape[-1]
+    if d == 1:
+        return 1.0 / a
+    s = _jacobi_scale(a)
+    a_n = a / (s[..., :, None] * s[..., None, :])
+    inv_n = sym_inv(a_n, d)
+    return inv_n / (s[..., :, None] * s[..., None, :])
+
+
+def scaled_sym_solve(a, b):
+    """f32-safe solve via Jacobi-normalized inverse."""
+    d = a.shape[-1]
+    if d == 1:
+        return b / a[..., 0]
+    s = _jacobi_scale(a)
+    a_n = a / (s[..., :, None] * s[..., None, :])
+    inv_n = sym_inv(a_n, d)
+    return bmv(inv_n, b / s) / s
