@@ -64,6 +64,9 @@ class FactorBlock(flax.struct.PyTreeNode):
     z: jnp.ndarray  # [m, zdim]
     prec: jnp.ndarray  # [m, zdim]
     args: Any = None
+    # Padding mask: False rows are structural dummies (device-count padding);
+    # their messages stay zero and they contribute nothing to energy.
+    valid: jnp.ndarray | None = None
     ftype: FactorType = flax.struct.field(pytree_node=False, default=None)
     vblocks: tuple = flax.struct.field(pytree_node=False, default=())  # vblock idx per slot
     dofs: tuple = flax.struct.field(pytree_node=False, default=())  # dof per slot

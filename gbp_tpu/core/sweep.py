@@ -413,6 +413,8 @@ def sweep(graph: Graph, state: GBPState, cfg: GBPConfig,
     for fi, fb in enumerate(graph.fblocks):
         fs = state.f[fi]
         act = None if active is None else active[fi]
+        if fb.valid is not None:
+            act = fb.valid if act is None else (act & fb.valid)
         x = gather_linpoint(graph, state, fi)
         fs = _relinearize(fb, fs, x, cfg, act)
         beliefs = _gather_beliefs(graph, state, fi)
@@ -484,5 +486,7 @@ def energy(graph: Graph, state: GBPState) -> jnp.ndarray:
             mm = jnp.sqrt(jnp.maximum(m2, 1e-12))
             t = jnp.asarray(fb.huber, dtype=mm.dtype)
             e = jnp.where(mm > t, t * mm - 0.5 * t * t, 0.5 * m2)
+        if fb.valid is not None:
+            e = jnp.where(fb.valid, e, 0.0)
         total = total + jnp.sum(e)
     return total
