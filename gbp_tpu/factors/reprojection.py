@@ -125,5 +125,23 @@ def bal_reprojection() -> FactorType:
     return FactorType(name="bal_reprojection", zdim=2, meas_fn=meas)
 
 
+def bal_reprojection_normalized() -> FactorType:
+    """BAL measurement model in NORMALIZED coordinates; args = [k1, k2].
+
+    h(x) = (1 + k1 r^2 + k2 r^4) * p with p = -Xc.xy / Xc.z; measurements are
+    pre-divided by the per-camera focal (z = pixel / f, sigma = pix_sigma / f).
+    Same posterior as `bal_reprojection` but with O(1) Jacobian entries —
+    the f32/TPU conditioning fix (see `reprojection_normalized`)."""
+
+    def meas(x, dist):
+        _, xc, _ = _cam_point(x)
+        p = -xc[:2] / xc[2]
+        r2 = p[0] * p[0] + p[1] * p[1]
+        distortion = 1.0 + r2 * (dist[0] + dist[1] * r2)
+        return distortion * p
+
+    return FactorType(name="bal_reprojection_normalized", zdim=2, meas_fn=meas)
+
+
 CAM_DOF = _CAM_DOF
 LMK_DOF = 3

@@ -1,0 +1,117 @@
+"""g2o pose-graph file IO (VERTEX_SE2/EDGE_SE2, VERTEX_SE3:QUAT/EDGE_SE3:QUAT).
+
+The reference repo ships no pose-graph loader; this covers the standard
+benchmark format (M3500, intel, sphere2500, ...) for the pose-graph model
+(BASELINE.json configs[1], SURVEY.md §2 'planned components').
+
+SE2 lines:
+    VERTEX_SE2 id x y theta
+    EDGE_SE2 i j dx dy dtheta  i11 i12 i13 i22 i23 i33   (upper-tri information)
+SE3 lines:
+    VERTEX_SE3:QUAT id x y z qx qy qz qw
+    EDGE_SE3:QUAT i j dx dy dz qx qy qz qw  <21 upper-tri information entries>
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _unpack_upper(vals, d):
+    """Upper-triangular row-major entries -> symmetric [d, d]."""
+    m = np.zeros((d, d))
+    k = 0
+    for i in range(d):
+        for j in range(i, d):
+            m[i, j] = m[j, i] = vals[k]
+            k += 1
+    return m
+
+
+def _quat_to_rotmat(q):
+    """[qx, qy, qz, qw] -> 3x3 rotation matrix."""
+    x, y, z, w = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def read_g2o(path):
+    """Parse a g2o file -> dict.
+
+    Returns (SE2 graphs):
+      poses:   [n, 3] (x, y, theta), index = vertex id (ids must be dense)
+      edges_ij:[m, 2] int64
+      edges_z: [m, 3] relative-pose measurements
+      edges_info: [m, 3, 3] information matrices
+      kind: "se2"
+    For SE3 graphs the pose rows are [x, y, z, omega(3)] (angle-axis) with
+    kind "se3" and 6x6 information; quaternions are converted on load.
+    """
+    se2_v, se2_e = {}, []
+    se3_v, se3_e = {}, []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            vals = [float(x) for x in parts[2:]] if tag.startswith("VERTEX") else \
+                   [float(x) for x in parts[3:]]
+            if tag == "VERTEX_SE2":
+                se2_v[int(parts[1])] = np.array(vals[:3])
+            elif tag == "EDGE_SE2":
+                i, j = int(parts[1]), int(parts[2])
+                z = np.array(vals[:3])
+                info = _unpack_upper(vals[3:9], 3)
+                se2_e.append((i, j, z, info))
+            elif tag == "VERTEX_SE3:QUAT":
+                t = np.array(vals[:3])
+                from gbp_tpu.utils.lie import so3_log
+                import jax.numpy as jnp
+
+                r = _quat_to_rotmat(np.array(vals[3:7]))
+                w = np.asarray(so3_log(jnp.asarray(r)))
+                se3_v[int(parts[1])] = np.concatenate([t, w])
+            elif tag == "EDGE_SE3:QUAT":
+                i, j = int(parts[1]), int(parts[2])
+                t = np.array(vals[:3])
+                from gbp_tpu.utils.lie import so3_log
+                import jax.numpy as jnp
+
+                r = _quat_to_rotmat(np.array(vals[3:7]))
+                w = np.asarray(so3_log(jnp.asarray(r)))
+                z = np.concatenate([t, w])
+                info = _unpack_upper(vals[7:28], 6)
+                se3_e.append((i, j, z, info))
+    if se2_v:
+        ids = sorted(se2_v)
+        assert ids == list(range(len(ids))), "non-dense SE2 vertex ids"
+        poses = np.stack([se2_v[i] for i in ids])
+        ij = np.array([(i, j) for i, j, _, _ in se2_e], dtype=np.int64).reshape(-1, 2)
+        z = np.stack([z for _, _, z, _ in se2_e]) if se2_e else np.zeros((0, 3))
+        info = np.stack([m for _, _, _, m in se2_e]) if se2_e else np.zeros((0, 3, 3))
+        return dict(kind="se2", poses=poses, edges_ij=ij, edges_z=z, edges_info=info)
+    ids = sorted(se3_v)
+    assert ids == list(range(len(ids))), "non-dense SE3 vertex ids"
+    poses = np.stack([se3_v[i] for i in ids])
+    ij = np.array([(i, j) for i, j, _, _ in se3_e], dtype=np.int64).reshape(-1, 2)
+    z = np.stack([z for _, _, z, _ in se3_e]) if se3_e else np.zeros((0, 6))
+    info = np.stack([m for _, _, _, m in se3_e]) if se3_e else np.zeros((0, 6, 6))
+    return dict(kind="se3", poses=poses, edges_ij=ij, edges_z=z, edges_info=info)
+
+
+def write_g2o_se2(path, poses, edges_ij, edges_z, edges_info):
+    """Write an SE2 g2o file (inverse of read_g2o for kind='se2')."""
+    poses = np.asarray(poses)
+    edges_info = np.asarray(edges_info)
+    with open(path, "w") as f:
+        for i, p in enumerate(poses):
+            f.write(f"VERTEX_SE2 {i} {p[0]:.12g} {p[1]:.12g} {p[2]:.12g}\n")
+        for (i, j), z, m in zip(np.asarray(edges_ij), np.asarray(edges_z), edges_info):
+            tri = [m[a, b] for a in range(3) for b in range(a, 3)]
+            f.write(
+                f"EDGE_SE2 {int(i)} {int(j)} {z[0]:.12g} {z[1]:.12g} {z[2]:.12g} "
+                + " ".join(f"{x:.12g}" for x in tri) + "\n"
+            )

@@ -163,6 +163,55 @@ def build(
     return graph, means
 
 
+def build_bal(
+    sim: dict,
+    pix_sigma=None,
+    huber=None,
+    anchor_prec=(1e5, 1e5),
+    cam_prior_prec=1.0,
+    lmk_prior_prec=1.0,
+    normalized=True,
+    dtype=jnp.float32,
+):
+    """Build a BA graph from a BAL-convention problem (io.bal.to_sim dict).
+
+    Same structure as `build` (reference: gbp_ba.create_ba_graph, SURVEY.md C9)
+    but with the BAL camera model: per-camera (f, k1, k2) radial distortion and
+    the BAL z-negation (factors.reprojection.bal_reprojection*).  Returns
+    (graph, init_means, px_scale) where px_scale [m, 2] converts normalized
+    residuals back to pixels for error metrics.
+    """
+    n_cams = sim["cam_init"].shape[0]
+    pix_sigma = sim.get("pix_sigma", 1.0) if pix_sigma is None else pix_sigma
+    intr = np.asarray(sim["intrinsics"], dtype=np.float64)  # [n_cams, 3]
+    cam_ids = sim["cam_ids"]
+
+    b = GraphBuilder(dtype=dtype)
+    cam = b.add_variables("cam", sim["cam_init"], prior_prec=cam_prior_prec)
+    lmk = b.add_variables("lmk", sim["lmk_init"], prior_prec=lmk_prior_prec)
+    b.set_prior(cam, 0, sim["cam_init"][0], anchor_prec[0])
+    if n_cams > 1:
+        prec1 = np.full(6, cam_prior_prec)
+        prec1[3:] = anchor_prec[1]
+        b.set_prior(cam, 1, sim["cam_init"][1], prec1)
+    conns = [(cam, cam_ids), (lmk, sim["lmk_ids"])]
+    f_per_obs = intr[cam_ids, 0]  # [m]
+    if normalized:
+        z = sim["obs"] / f_per_obs[:, None]
+        sigma = np.broadcast_to((pix_sigma / f_per_obs)[:, None], z.shape)
+        b.add_factors("reproj", reprojection.bal_reprojection_normalized(),
+                      conns, z, sigma=sigma, args=intr[cam_ids, 1:3],
+                      huber=huber)
+        px_scale = np.broadcast_to(f_per_obs[:, None], z.shape).copy()
+    else:
+        b.add_factors("reproj", reprojection.bal_reprojection(), conns,
+                      sim["obs"], sigma=pix_sigma, args=intr[cam_ids],
+                      huber=huber)
+        px_scale = np.ones_like(sim["obs"])
+    graph, means = b.build()
+    return graph, means, jnp.asarray(px_scale, dtype=dtype)
+
+
 def weaken_priors(graph: Graph, factor=0.1, keep=((0, (0, 1)),)) -> Graph:
     """Scale all variable priors by `factor`, except listed anchors.
 
@@ -235,21 +284,29 @@ def reprojection_errors(graph: Graph, state: GBPState, fi: int = 0) -> jnp.ndarr
     return jnp.linalg.norm(r, axis=-1)
 
 
-def reprojection_errors_px(graph: Graph, state: GBPState, k, fi: int = 0) -> jnp.ndarray:
-    """Pixel-space reprojection errors for normalized-coordinate graphs."""
+def reprojection_errors_px(graph: Graph, state: GBPState, k=None, fi: int = 0,
+                           px_scale=None) -> jnp.ndarray:
+    """Pixel-space reprojection errors for normalized-coordinate graphs.
+
+    Pass k = [fx, fy, cx, cy] for shared-intrinsics graphs, or px_scale [m, 2]
+    (returned by build_bal) for per-camera-focal BAL graphs."""
     fb = graph.fblocks[fi]
     x = gather_linpoint(graph, state, fi)
     h = _vmap_factor(fb.ftype.meas, x, fb.args)
     r = jax.vmap(fb.ftype.residual)(fb.z, h)
-    if fb.ftype.name == "reprojection_normalized":
+    if px_scale is not None:
+        r = r * px_scale
+    elif fb.ftype.name == "reprojection_normalized" and k is not None:
         r = r * jnp.asarray(k[:2], dtype=r.dtype)
     return jnp.linalg.norm(r, axis=-1)
 
 
-def avg_reprojection_error(graph: Graph, state: GBPState, fi: int = 0, k=None) -> jnp.ndarray:
+def avg_reprojection_error(graph: Graph, state: GBPState, fi: int = 0, k=None,
+                           px_scale=None) -> jnp.ndarray:
     """The reference's `are()` metric in pixels (SURVEY.md C9).
 
-    Pass k (intrinsics [fx, fy, cx, cy]) for normalized-coordinate graphs."""
-    if k is not None:
-        return jnp.mean(reprojection_errors_px(graph, state, k, fi))
+    Pass k (intrinsics [fx, fy, cx, cy]) or px_scale [m, 2] for
+    normalized-coordinate graphs."""
+    if k is not None or px_scale is not None:
+        return jnp.mean(reprojection_errors_px(graph, state, k, fi, px_scale))
     return jnp.mean(reprojection_errors(graph, state, fi))

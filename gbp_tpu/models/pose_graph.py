@@ -127,6 +127,38 @@ def build(
     return b.build()
 
 
+def build_g2o(
+    data: dict,
+    huber=None,
+    anchor_prec=1e6,
+    prior_prec=1e-5,
+    dtype=jnp.float32,
+):
+    """Build a pose graph from a parsed g2o file (io.g2o.read_g2o dict).
+
+    Handles both SE(2) ([x, y, theta] poses, se2_between factors) and SE(3)
+    ([t, omega] poses, se3_between factors) with the file's full per-edge
+    information matrices.  Pose 0 anchored; returns (graph, init_means).
+    """
+    init = np.asarray(data["poses"])
+    b = GraphBuilder(dtype=dtype)
+    v = b.add_variables("pose", init, prior_prec=prior_prec)
+    b.set_prior(v, 0, init[0], anchor_prec)
+    if data["kind"] == "se2":
+        ftype = odometry.se2_between()
+    else:
+        from gbp_tpu.factors import se3
+
+        ftype = se3.se3_between()
+    ij = np.asarray(data["edges_ij"])
+    if ij.shape[0]:
+        b.add_factors(
+            "between", ftype, [(v, ij[:, 0]), (v, ij[:, 1])],
+            data["edges_z"], prec=np.asarray(data["edges_info"]), huber=huber,
+        )
+    return b.build()
+
+
 def default_config():
     """Recommended GBP knobs for pose graphs.
 

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Pose-graph SLAM driver: g2o files or synthetic Manhattan worlds.
+
+    python slam.py --g2o_file data/manhattan_sim.g2o --n_iters 200
+    python slam.py --n_poses 500 --n_iters 200          # synthetic world
+"""
+import argparse
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--g2o_file", default=None, help="g2o pose-graph file (SE2 or SE3)")
+    p.add_argument("--n_iters", type=int, default=200)
+    p.add_argument("--huber", type=float, default=2.0)
+    p.add_argument("--n_poses", type=int, default=500)
+    p.add_argument("--outlier_frac", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--print_every", type=int, default=20)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from gbp_tpu.core.sweep import energy, init_state, run
+    from gbp_tpu.models import pose_graph
+
+    cfg = pose_graph.default_config()
+    truth = None
+    if args.g2o_file:
+        from gbp_tpu.io import g2o as g2oio
+
+        data = g2oio.read_g2o(args.g2o_file)
+        graph, means = pose_graph.build_g2o(data, huber=args.huber)
+        print(f"loaded {args.g2o_file} ({data['kind']}): "
+              f"{data['poses'].shape[0]} poses, {data['edges_ij'].shape[0]} edges")
+    else:
+        sim = pose_graph.simulate_manhattan(
+            n_poses=args.n_poses, outlier_frac=args.outlier_frac, seed=args.seed)
+        graph, means = pose_graph.build(sim, huber=args.huber)
+        truth = sim["truth"]
+        print(f"simulated Manhattan world: {args.n_poses} poses, "
+              f"{sim['odom_ij'].shape[0]} odometry + {sim['loop_ij'].shape[0]} loop factors")
+    print(f"device: {jax.devices()[0]}")
+
+    state = init_state(graph, means)
+    runj = jax.jit(run, static_argnums=3)
+    t0 = time.time()
+    for it in range(0, args.n_iters, args.print_every):
+        n = min(args.print_every, args.n_iters - it)
+        state = runj(graph, state, cfg, n)
+        e = float(energy(graph, state))
+        line = f"sweep {it + n:4d}: energy {e:12.3f}"
+        if truth is not None:
+            line += f"  ATE {pose_graph.ate(state.v[0].mean, truth):8.4f}"
+        print(line)
+    dt = time.time() - t0
+    print(f"{args.n_iters} sweeps in {dt:.2f}s  ({args.n_iters / dt:.1f} sweeps/s)")
+
+
+if __name__ == "__main__":
+    main()
