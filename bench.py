@@ -37,17 +37,21 @@ def measure_tpu(sim):
     from gbp_tpu.models import ba
 
     graph, means = ba.build(sim)  # f32, normalized coords
-    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="pallas")
     state = init_state(graph, means)
     m = graph.fblocks[0].count
     log(f"[bench] graph: {N_CAMS} cams, {sim['lmk_init'].shape[0]} lmks, {m} factors "
         f"on {jax.devices()[0]}")
 
+    # Warm up with the SAME static n_iters as the timed call: n_iters is a
+    # static argument, so a different value would recompile inside the timed
+    # region and pollute the measurement with ~10s of XLA compile time.
     runj = jax.jit(run, static_argnums=3)
     t0 = time.time()
-    state = runj(graph, state, cfg, 10)
+    state = runj(graph, state, cfg, SWEEPS)
     state.v[0].mean.block_until_ready()
-    log(f"[bench] warmup/compile: {time.time()-t0:.1f}s")
+    log(f"[bench] warmup/compile+{SWEEPS} sweeps: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     state = runj(graph, state, cfg, SWEEPS)

@@ -90,12 +90,72 @@ class FactorBlock(flax.struct.PyTreeNode):
         return tuple(out)
 
 
+class Inbox(flax.struct.PyTreeNode):
+    """Dense per-variable message inbox for one (factor block, slot) source.
+
+    idx[v, k] is the factor row whose slot-`slot` message is variable v's k-th
+    incoming message (padded with 0 where mask is False).  Belief updates
+    become gather + masked reduce — no scatter, which on TPU serializes and
+    dominated the sweep (measured: 88 ms of a 118 ms sweep at 470k factors
+    was the segment_sum scatter; the inbox form is pure gather/reduce).
+    """
+
+    idx: jnp.ndarray  # [n, max_deg] int32
+    mask: jnp.ndarray  # [n, max_deg] bool
+    fi: int = flax.struct.field(pytree_node=False, default=0)
+    slot: int = flax.struct.field(pytree_node=False, default=0)
+
+
 class Graph(flax.struct.PyTreeNode):
     vblocks: tuple  # tuple[VariableBlock]
     fblocks: tuple  # tuple[FactorBlock]
+    # inboxes[vi] = tuple[Inbox] for variable block vi, or None to use the
+    # scatter (segment_sum) belief update (the GSPMD multi-chip path drops
+    # inboxes: psum of partial scatter sums moves far less data than
+    # all-gathering factor messages for replicated-variable gathers).
+    inboxes: tuple | None = None
 
     def total_dim(self) -> int:
         return sum(vb.count * vb.dof for vb in self.vblocks)
+
+
+def build_inboxes(fblocks, vcounts, max_pad_ratio=8.0):
+    """Precompute dense inboxes from factor adjacency (host-side numpy).
+
+    Returns tuple-per-vblock of tuples of Inbox, or None entries when the
+    degree skew makes padding explode (> max_pad_ratio x the message count),
+    in which case the caller should keep the scatter path for that vblock.
+    """
+    out = []
+    for vi, n in enumerate(vcounts):
+        specs = []
+        ok = True
+        for fi, fb in enumerate(fblocks):
+            for slot, target in enumerate(fb.vblocks):
+                if target != vi:
+                    continue
+                adj = np.asarray(fb.adj[slot])
+                m = adj.shape[0]
+                deg = np.bincount(adj, minlength=n)
+                max_deg = max(int(deg.max()), 1)
+                if n * max_deg > max_pad_ratio * max(m, 1):
+                    ok = False
+                    break
+                order = np.argsort(adj, kind="stable")
+                pos = np.arange(m) - np.concatenate([[0], np.cumsum(deg)])[adj[order]]
+                idx = np.zeros((n, max_deg), dtype=np.int32)
+                mask = np.zeros((n, max_deg), dtype=bool)
+                idx[adj[order], pos] = order.astype(np.int32)
+                mask[adj[order], pos] = True
+                specs.append(
+                    Inbox(idx=jnp.asarray(idx), mask=jnp.asarray(mask), fi=fi, slot=slot)
+                )
+            if not ok:
+                break
+        out.append(tuple(specs) if ok else None)
+    if all(s is None for s in out):
+        return None
+    return tuple(out)
 
 
 class GraphBuilder:
@@ -214,4 +274,8 @@ class GraphBuilder:
                     name=fb["name"],
                 )
             )
-        return Graph(vblocks=tuple(vblocks), fblocks=tuple(fblocks)), tuple(init_means)
+        inboxes = build_inboxes(fblocks, [vb.count for vb in vblocks])
+        return (
+            Graph(vblocks=tuple(vblocks), fblocks=tuple(fblocks), inboxes=inboxes),
+            tuple(init_means),
+        )

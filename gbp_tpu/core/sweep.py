@@ -335,9 +335,47 @@ def _messages_schur(fb: FactorBlock, fs: FactorState, beliefs: tuple,
     return out
 
 
+def _messages_fused(fb: FactorBlock, fs: FactorState, beliefs: tuple,
+                    cfg: GBPConfig, active: jnp.ndarray | None) -> FactorState:
+    """Covariance-form messages + damping + masking in one Pallas kernel
+    (gbp_tpu/ops/messages_pallas.py).  Numerically the same update as
+    _messages_covariance -> _finish_messages."""
+    from gbp_tpu.ops.messages_pallas import fused_messages
+
+    d0, d1 = fb.dofs
+    z = fb.z.shape[-1]
+    m = fb.count
+    dt = fs.r0.dtype
+    params = jnp.stack([
+        jnp.asarray(cfg.eta_damping, dt),
+        jnp.asarray(cfg.lam_damping, dt),
+        jnp.asarray(cfg.num_undamped_iters, dt),
+        jnp.asarray(_cavity_floor(cfg, dt), dt),
+    ])
+    act = jnp.ones((m,), dt) if active is None else active
+    oe0, ol0, oe1, ol1 = fused_messages(
+        params,
+        fs.jac.reshape(m, -1), fs.linpoint, fs.r0,
+        fb.prec.reshape(m, -1) if fb.prec.ndim == 3 else fb.prec,
+        fs.since_relin, act,
+        beliefs[0].eta, beliefs[0].lam.reshape(m, -1),
+        beliefs[1].eta, beliefs[1].lam.reshape(m, -1),
+        fs.msg_eta[0], fs.msg_lam[0].reshape(m, -1),
+        fs.msg_eta[1], fs.msg_lam[1].reshape(m, -1),
+        d0=d0, d1=d1, z=z, prec_full=fb.prec.ndim == 3, huber=fb.huber,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return fs.replace(
+        msg_eta=(oe0, oe1),
+        msg_lam=(ol0.reshape(m, d0, d0), ol1.reshape(m, d1, d1)),
+    )
+
+
 def _compute_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
                       cfg: GBPConfig, active: jnp.ndarray | None) -> FactorState:
-    if cfg.message_form == "covariance":
+    if cfg.message_form == "pallas" and len(fb.dofs) == 2:
+        return _messages_fused(fb, fs, beliefs, cfg, active)
+    if cfg.message_form in ("covariance", "pallas"):
         raw = _messages_covariance(fb, fs, beliefs, cfg)
     elif cfg.message_form == "schur":
         raw = _messages_schur(fb, fs, beliefs, cfg)
@@ -371,22 +409,38 @@ def _marginalize_onto(eta, lam, off, d) -> Gaussian:
 
 @f32_exact
 def update_beliefs(graph: Graph, state: GBPState) -> GBPState:
-    """belief = prior (+) sum of factor->variable messages (SURVEY.md C2)."""
+    """belief = prior (+) sum of factor->variable messages (SURVEY.md C2).
+
+    Two lowerings of the same sum: dense-inbox gather+reduce when the graph
+    carries precomputed inboxes (single-chip fast path: TPU scatter serializes
+    and dominated the sweep), segment_sum scatter otherwise (multi-chip GSPMD
+    path: psum of partial scatter sums beats all-gathering factor messages).
+    """
     new_v = []
     for vi, vb in enumerate(graph.vblocks):
         eta = vb.prior_eta
         lam = vb.prior_lam
-        for fi, fb in enumerate(graph.fblocks):
-            fs = state.f[fi]
-            for k, target in enumerate(fb.vblocks):
-                if target != vi:
-                    continue
-                eta = eta + jax.ops.segment_sum(
-                    fs.msg_eta[k], fb.adj[k], num_segments=vb.count
-                )
-                lam = lam + jax.ops.segment_sum(
-                    fs.msg_lam[k], fb.adj[k], num_segments=vb.count
-                )
+        specs = None if graph.inboxes is None else graph.inboxes[vi]
+        if specs is not None:
+            for spec in specs:
+                fs = state.f[spec.fi]
+                me = fs.msg_eta[spec.slot][spec.idx]  # [n, max_deg, d]
+                ml = fs.msg_lam[spec.slot][spec.idx]  # [n, max_deg, d, d]
+                sel = spec.mask[:, :, None]
+                eta = eta + jnp.sum(jnp.where(sel, me, 0.0), axis=1)
+                lam = lam + jnp.sum(jnp.where(sel[..., None], ml, 0.0), axis=1)
+        else:
+            for fi, fb in enumerate(graph.fblocks):
+                fs = state.f[fi]
+                for k, target in enumerate(fb.vblocks):
+                    if target != vi:
+                        continue
+                    eta = eta + jax.ops.segment_sum(
+                        fs.msg_eta[k], fb.adj[k], num_segments=vb.count
+                    )
+                    lam = lam + jax.ops.segment_sum(
+                        fs.msg_lam[k], fb.adj[k], num_segments=vb.count
+                    )
         mean = scaled_sym_solve(lam, eta)
         new_v.append(VariableState(eta=eta, lam=lam, mean=mean))
     return state.replace(v=tuple(new_v))

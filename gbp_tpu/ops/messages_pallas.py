@@ -1,0 +1,217 @@
+"""Fused Pallas TPU kernel for the factor-to-variable message update.
+
+This is the engine's hottest op (SURVEY.md §3.1 'compute_messages' — the
+per-factor Schur/covariance-form marginalization).  The XLA lowering of the
+covariance-form math (gbp_tpu/core/sweep.py `_messages_covariance` +
+`_finish_messages`) round-trips intermediates through HBM; measured at 470k
+BA factors it costs ~36 ms/sweep, ~50x off memory bandwidth.  This kernel
+performs the entire update for a tile of factors in one VMEM pass — fusing
+cavity formation + diagonal floor, the Jacobi-normalized closed-form cavity
+inverses, the z x z system assembly/inverse, message formation, Huber
+covariance scaling, eta/lam damping with the undamped-after-relinearization
+counter, and the wildfire active mask.
+
+Layout: component-major.  Every per-factor operand arrives as
+[F, m/LANE, LANE] (F = number of scalar components, factors in the trailing
+two dims), so each matrix component is one (SUB, LANE) = (8, 128) vreg tile
+and all small-matrix algebra (gbp_tpu/ops/comp_linalg.py) is full-width VPU
+elementwise work.  Nothing >2D exists inside the kernel: Mosaic would pad a
+[tile, d, d] intermediate's trailing (d, d) dims to (8, 128) vregs — a ~50x
+VMEM/computation blowup for d <= 9.  The [m, ...] <-> component-major
+transposes happen in XLA around the call (cheap HBM copies).
+
+Two-slot factor blocks only (all reference graphs are pairwise, SURVEY.md §7
+'Ragged degree'); the engine falls back to the XLA path otherwise.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gbp_tpu.ops import comp_linalg as cl
+
+LANE = 128
+SUB = 8
+TILE = SUB * LANE  # factors per grid step
+
+
+def _comps(ref, n):
+    """First n leading-dim slices of a [F, SUB, LANE] block -> list of tiles."""
+    return [ref[k] for k in range(n)]
+
+
+def _mat(comps, r, c):
+    """Row-major component list -> component matrix [r][c]."""
+    return [[comps[i * c + j] for j in range(c)] for i in range(r)]
+
+
+def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
+            be0_ref, bl0_ref, be1_ref, bl1_ref,
+            me0_ref, ml0_ref, me1_ref, ml1_ref,
+            oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+            *, d0, d1, z, prec_full, huber):
+    t = d0 + d1
+    eta_damping = params_ref[0, 0]
+    lam_damping = params_ref[0, 1]
+    num_undamped = params_ref[0, 2]
+    floor = params_ref[0, 3]
+
+    jac = _mat(_comps(jac_ref, z * t), z, t)  # [z][t]
+    j0 = [row[:d0] for row in jac]
+    j1 = [row[d0:] for row in jac]
+    x0 = _comps(x0_ref, t)
+    r0 = _comps(r0_ref, z)
+
+    # Huber covariance-scaling weight from the linpoint residual (SURVEY C6).
+    if prec_full:
+        prec = _mat(_comps(prec_ref, z * z), z, z)
+        pr = cl.cmv(prec, r0)
+        m2 = sum(r0[i] * pr[i] for i in range(z))
+        sigma = cl.cscaled_sym_inv(prec)
+    else:
+        prec = _comps(prec_ref, z)
+        m2 = sum(prec[i] * r0[i] * r0[i] for i in range(z))
+        zero = jnp.zeros_like(r0[0])
+        sigma = [[1.0 / prec[i] if i == j else zero for j in range(z)]
+                 for i in range(z)]
+    if huber is not None:
+        mm = jnp.sqrt(jnp.maximum(m2, 1e-12))
+        w = jnp.where(mm > huber, 2.0 * huber / mm - (huber * huber) / (mm * mm), 1.0)
+        inv_w = 1.0 / w
+        sigma = cl.cscale(sigma, inv_w)
+
+    def slot(be_ref, bl_ref, me_ref, ml_ref, j_s, x0_s, d):
+        bl = _mat(_comps(bl_ref, d * d), d, d)
+        ml = _mat(_comps(ml_ref, d * d), d, d)
+        cav_lam = cl.csub(bl, ml)
+        for i in range(d):
+            cav_lam[i][i] = cav_lam[i][i] + floor * bl[i][i]
+        cav_eta = [b - m for b, m in zip(_comps(be_ref, d), _comps(me_ref, d))]
+        cav_cov = cl.cscaled_sym_inv(cav_lam)
+        cav_mu = cl.cmv(cav_cov, cav_eta)
+        jc = cl.cmm(j_s, cav_cov)  # [z][d]
+        p = cl.cmm(jc, cl.ct(j_s))  # J C^-1 J^T [z][z]
+        q = cl.cmv(j_s, cl.vsub(x0_s, cav_mu))
+        return p, q, ml
+
+    p0, q0, ml0 = slot(be0_ref, bl0_ref, me0_ref, ml0_ref, j0, x0[:d0], d0)
+    p1, q1, ml1 = slot(be1_ref, bl1_ref, me1_ref, ml1_ref, j1, x0[d0:], d1)
+
+    srel = srel_ref[0]
+    act = act_ref[0]
+    damp = jnp.where(srel >= num_undamped, eta_damping, 0.0)
+    ldamp = jnp.where(srel >= num_undamped, lam_damping, 0.0)
+
+    def emit(j_a, x0_a, p_o, q_o, me_ref, ml_old, oe_ref, ol_ref, d_a):
+        s_mat = cl.csym(cl.cadd(sigma, p_o))
+        s_inv = cl.cscaled_sym_inv(s_mat)
+        sj = cl.cmm(s_inv, j_a)  # [z][d_a]
+        u = cl.vadd(cl.vadd(cl.cmv(j_a, x0_a), r0), q_o)
+        lam_msg = cl.csym(cl.cmm(cl.ct(j_a), sj))
+        eta_msg = cl.cmv(cl.ct(sj), u)
+        me_old = _comps(me_ref, d_a)
+        for i in range(d_a):
+            ne = (1.0 - damp) * eta_msg[i] + damp * me_old[i]
+            oe_ref[i] = act * ne + (1.0 - act) * me_old[i]
+            for jj in range(d_a):
+                nl = (1.0 - ldamp) * lam_msg[i][jj] + ldamp * ml_old[i][jj]
+                ol_ref[i * d_a + jj] = act * nl + (1.0 - act) * ml_old[i][jj]
+
+    emit(j0, x0[:d0], p1, q1, me0_ref, ml0, oe0_ref, ol0_ref, d0)
+    emit(j1, x0[d0:], p0, q0, me1_ref, ml1, oe1_ref, ol1_ref, d1)
+
+
+def _to_cm(a, pad_rows, fill=0.0):
+    """[m, F] (or [m]) row-major -> component-major [F, mp/LANE, LANE]."""
+    if a.ndim == 1:
+        a = a[:, None]
+    if pad_rows:
+        a = jnp.pad(a, ((0, pad_rows), (0, 0)), constant_values=fill)
+    mp = a.shape[0]
+    return jnp.swapaxes(a, 0, 1).reshape(a.shape[1], mp // LANE, LANE)
+
+
+def _from_cm(a, m):
+    """[F, mp/LANE, LANE] -> [m, F]."""
+    f = a.shape[0]
+    return jnp.swapaxes(a.reshape(f, -1), 0, 1)[:m]
+
+
+def _eye_rows(d, pad, dtype):
+    return jnp.tile(jnp.eye(d, dtype=dtype).reshape(1, -1), (pad, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "interpret"),
+)
+def fused_messages(params, jac, x0, r0, prec, since_relin, active,
+                   be0, bl0, be1, bl1, me0, ml0, me1, ml1,
+                   *, d0, d1, z, prec_full, huber, interpret=False):
+    """Fused message update for one 2-slot factor block.
+
+    params: [4] (eta_damping, lam_damping, num_undamped_iters, cavity_floor).
+    Matrix operands arrive flattened row-major 2D ([m, z*t], [m, d*d], ...).
+    Returns (new_eta0 [m, d0], new_lam0 [m, d0*d0], new_eta1, new_lam1).
+    """
+    m = jac.shape[0]
+    mp = ((m + TILE - 1) // TILE) * TILE
+    pad = mp - m
+    dt = jac.dtype
+
+    # Padding rows get identity-ish operands so the closed-form inverses stay
+    # finite (their outputs are sliced away).
+    prec_pad = (
+        jnp.concatenate([prec.reshape(m, -1), _eye_rows(z, pad, dt)], 0)
+        if (pad and prec_full) else None
+    )
+    args = [
+        _to_cm(jac, pad),
+        _to_cm(x0, pad),
+        _to_cm(r0, pad),
+        _to_cm(prec_pad, 0) if prec_pad is not None
+        else _to_cm(prec.reshape(m, -1), pad, fill=1.0),
+        _to_cm(since_relin.astype(dt), pad),
+        _to_cm(active.astype(dt), pad),
+        _to_cm(be0, pad),
+        _to_cm(jnp.concatenate([bl0, _eye_rows(d0, pad, dt)], 0) if pad else bl0, 0),
+        _to_cm(be1, pad),
+        _to_cm(jnp.concatenate([bl1, _eye_rows(d1, pad, dt)], 0) if pad else bl1, 0),
+        _to_cm(me0, pad),
+        _to_cm(ml0, pad),
+        _to_cm(me1, pad),
+        _to_cm(ml1, pad),
+    ]
+
+    grid = (mp // TILE,)
+
+    def cm_spec(a):
+        return pl.BlockSpec((a.shape[0], SUB, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [cm_spec(a) for a in args]
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((d1, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, mp // LANE, LANE), dt),
+    ]
+    out_specs = [cm_spec(o) for o in out_shape]
+
+    kernel = functools.partial(
+        _kernel, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=None if huber is None else float(huber),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(params.reshape(1, -1).astype(dt), *args)
+    return tuple(_from_cm(o, m) for o in outs)
