@@ -1,0 +1,97 @@
+"""Frontend: Harris detection, ZNCC matching, triangulation, and the full
+images -> tracks -> triangulate -> GBP-BA pipeline on rendered frames."""
+import numpy as np
+import jax.numpy as jnp
+
+from gbp_tpu.core.graph import GraphBuilder
+from gbp_tpu.core.sweep import GBPConfig, init_state, run
+from gbp_tpu.factors import reprojection
+from gbp_tpu.frontend import features, pipeline
+from gbp_tpu.models import ba
+
+
+def _checkerboard_corners(h=120, w=160, step=20):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return (((yy // step) + (xx // step)) % 2).astype(np.float32)
+
+
+def test_harris_finds_checkerboard_corners():
+    img = _checkerboard_corners()
+    xy, score = features.detect(jnp.asarray(img), max_corners=64, border=4)
+    xy = np.asarray(xy)[np.asarray(score) > 0]
+    assert xy.shape[0] >= 20
+    # Detected corners land near lattice crossings (multiples of 20).
+    offs = np.minimum(xy % 20, 20 - (xy % 20))
+    assert float(np.median(offs)) <= 2.0
+
+
+def test_match_recovers_translation():
+    rng = np.random.default_rng(0)
+    base = rng.random((140, 200)).astype(np.float32)
+    # Smooth the noise so patches are distinctive but matchable.
+    k = np.ones((5, 5)) / 25.0
+    from scipy.signal import convolve2d
+
+    img1 = convolve2d(base, k, mode="same").astype(np.float32)
+    shift = 6
+    img2 = np.roll(img1, shift, axis=1)
+    xy1, s1 = features.detect(jnp.asarray(img1), max_corners=128)
+    xy2, s2 = features.detect(jnp.asarray(img2), max_corners=128)
+    d1 = features.extract_patches(jnp.asarray(img1), xy1)
+    d2 = features.extract_patches(jnp.asarray(img2), xy2)
+    mj, ok = features.match(d1, d2, valid1=s1 > 0, valid2=s2 > 0)
+    mj, ok = np.asarray(mj), np.asarray(ok)
+    assert ok.sum() >= 10
+    dx = np.asarray(xy2)[mj[ok], 0] - np.asarray(xy1)[ok, 0]
+    assert abs(np.median(dx) - shift) < 1.0
+
+
+def test_triangulation_exact_on_noiseless_obs():
+    sim = ba.simulate(n_cams=6, n_lmks=60, pix_sigma=0.0, seed=0)
+    got = pipeline.triangulate(
+        sim["cam_truth"], sim["k"], sim["cam_ids"], sim["lmk_ids"], sim["obs"],
+        n_lmks=sim["lmk_truth"].shape[0],
+    )
+    np.testing.assert_allclose(np.asarray(got), sim["lmk_truth"], atol=1e-2)
+
+
+def test_full_sfm_pipeline_from_pixels():
+    """Render frames from a synthetic scene, track, triangulate, run GBP BA."""
+    rng = np.random.default_rng(3)
+    shape = (240, 320)
+    k = np.array([260.0, 260.0, shape[1] / 2, shape[0] / 2])
+    sim = ba.simulate(n_cams=6, n_lmks=120, seed=3, fov_frac=0.25,
+                      cam_noise=(0.01, 0.03), k=tuple(k))
+    frames = pipeline.render_scene(sim["cam_truth"], sim["lmk_truth"], k,
+                                   shape=shape, seed=3)
+    cam_ids, lmk_ids, obs = pipeline.build_tracks(
+        list(np.asarray(frames)), max_corners=256, min_score=0.9, ratio=0.85,
+        min_track_len=3, max_disp=25.0,
+    )
+    cam_init = sim["cam_truth"] + np.concatenate(
+        [0.005 * rng.standard_normal((6, 3)), 0.02 * rng.standard_normal((6, 3))],
+        axis=1,
+    )
+    cam_init[0] = sim["cam_truth"][0]
+    cam_ids, lmk_ids, obs = pipeline.filter_tracks(
+        cam_init, k, cam_ids, lmk_ids, obs, thresh=4.0, min_track_len=3,
+    )
+    n_lmks = int(lmk_ids.max()) + 1
+    assert obs.shape[0] >= 50, obs.shape
+    assert n_lmks >= 15
+
+    lmk_init = np.asarray(
+        pipeline.triangulate(cam_init, k, cam_ids, lmk_ids, obs, n_lmks=n_lmks)
+    )
+
+    tracked = dict(
+        cam_init=cam_init, lmk_init=lmk_init, obs=obs,
+        cam_ids=cam_ids, lmk_ids=lmk_ids, k=k, pix_sigma=1.0,
+    )
+    graph, means = ba.build(tracked, huber=2.0, dtype=jnp.float64)
+    state = init_state(graph, means)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+    state = run(graph, state, cfg, 50)
+    are = float(ba.avg_reprojection_error(graph, state, k=k))
+    # Sub-pixel reprojection error from pixels alone.
+    assert are < 1.0, are
