@@ -72,6 +72,13 @@ class FactorBlock(flax.struct.PyTreeNode):
     dofs: tuple = flax.struct.field(pytree_node=False, default=())  # dof per slot
     huber: float | None = flax.struct.field(pytree_node=False, default=None)
     name: str = flax.struct.field(pytree_node=False, default="factor")
+    # ELL layout (see GraphBuilder.build): rows grouped by slot `ell_slot`'s
+    # variable, padded to a uniform degree `ell_deg` (row r belongs to
+    # variable r // ell_deg).  Enables gather-free belief broadcast and
+    # scatter-free reshape-sum belief updates for that slot.  None = plain
+    # (unordered) row layout.
+    ell_slot: int | None = flax.struct.field(pytree_node=False, default=None)
+    ell_deg: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def count(self) -> int:
@@ -225,8 +232,71 @@ class GraphBuilder:
         )
         return len(self._fblocks) - 1
 
-    def build(self):
-        """Returns (Graph, init_means) as device arrays."""
+    @staticmethod
+    def _ell_reorder(fb: dict, vcounts: list, max_pad_ratio: float = 2.0):
+        """Reorder one factor block into ELL layout (host-side).
+
+        Picks the slot minimizing n_var * max_degree (if the padding stays
+        under max_pad_ratio x the true factor count), groups rows by that
+        slot's variable id, and pads every group to the max degree with
+        inert clones (valid=False) of the group's first row — clones keep
+        the padded rows' math finite; masks keep them inert.  Returns
+        (fb, ell_slot, ell_deg).
+        """
+        m = fb["z"].shape[0]
+        if m == 0:
+            return fb, None, 0
+        best = None
+        for k, (vb, idx) in enumerate(fb["conns"]):
+            deg = np.bincount(idx, minlength=vcounts[vb])
+            d_max = max(int(deg.max()), 1)
+            rows = vcounts[vb] * d_max
+            if rows <= max_pad_ratio * m and (best is None or rows < best[2]):
+                best = (k, d_max, rows)
+        if best is None:
+            return fb, None, 0
+        k, d_max, rows = best
+        vb_k, idx_k = fb["conns"][k]
+        n = vcounts[vb_k]
+        order = np.argsort(idx_k, kind="stable")
+        deg = np.bincount(idx_k, minlength=n)
+        starts = np.concatenate([[0], np.cumsum(deg)])
+        # Destination row of each (sorted) factor: var * d_max + rank.
+        rank = np.arange(m) - starts[idx_k[order]]
+        dest = idx_k[order] * d_max + rank
+        # Source row for every destination: group's first real row (global
+        # row 0 for empty groups), overwritten by the real rows.
+        first = np.zeros(n, dtype=np.int64)
+        has = deg > 0
+        first[has] = order[starts[:-1][has]]
+        src = np.repeat(first, d_max)
+        src[dest] = order
+        valid = np.zeros(rows, dtype=bool)
+        valid[dest] = True
+
+        out = dict(fb)
+        out["conns"] = [(vb, idx[src].copy()) for vb, idx in fb["conns"]]
+        # The ELL slot's ids must match the row grouping even for clones.
+        out["conns"][k] = (vb_k, np.repeat(np.arange(n, dtype=idx_k.dtype), d_max))
+        out["z"] = fb["z"][src]
+        out["prec"] = fb["prec"][src]
+        if fb["args"] is not None:
+            out["args"] = np.asarray(fb["args"])[src]
+        out["valid"] = valid
+        return out, k, d_max
+
+    def build(self, with_inboxes: bool = False, layout: str = "none"):
+        """Returns (Graph, init_means) as device arrays.
+
+        layout: "ell" reorders every factor block into ELL form — rows
+        grouped by the lowest-padding slot's variable and padded to uniform
+        degree — so that slot's belief broadcast and belief update are
+        gather/scatter-free reshapes (the TPU fast path); "none" keeps
+        insertion order.
+        with_inboxes: precompute dense per-variable inboxes (gather-form
+        belief updates).  With (eta|lam)-packed wide rows the segment_sum
+        scatter is now the faster default on TPU; inboxes remain available
+        for schedulers/SPMD variants that want gather-form partials."""
         import warnings
 
         for vb in self._vblocks:
@@ -254,27 +324,37 @@ class GraphBuilder:
                 )
             )
             init_means.append(jnp.asarray(vb["init"], dtype=dt))
+        vcounts = [v["init"].shape[0] for v in self._vblocks]
         fblocks = []
         for fb in self._fblocks:
+            ell_slot, ell_deg = None, 0
+            if layout == "ell":
+                fb, ell_slot, ell_deg = self._ell_reorder(fb, vcounts)
             vb_ids = tuple(vb for vb, _ in fb["conns"])
             dofs = tuple(self._vblocks[vb]["init"].shape[1] for vb in vb_ids)
             args = fb["args"]
             if args is not None:
                 args = jnp.asarray(np.asarray(args), dtype=dt)
+            valid = fb.get("valid")
             fblocks.append(
                 FactorBlock(
                     adj=tuple(jnp.asarray(idx) for _, idx in fb["conns"]),
                     z=jnp.asarray(fb["z"], dtype=dt),
                     prec=jnp.asarray(fb["prec"], dtype=dt),
                     args=args,
+                    valid=None if valid is None else jnp.asarray(valid),
                     ftype=fb["ftype"],
                     vblocks=vb_ids,
                     dofs=dofs,
                     huber=fb["huber"],
                     name=fb["name"],
+                    ell_slot=ell_slot,
+                    ell_deg=ell_deg,
                 )
             )
-        inboxes = build_inboxes(fblocks, [vb.count for vb in vblocks])
+        inboxes = None
+        if with_inboxes:
+            inboxes = build_inboxes(fblocks, [vb.count for vb in vblocks])
         return (
             Graph(vblocks=tuple(vblocks), fblocks=tuple(fblocks), inboxes=inboxes),
             tuple(init_means),

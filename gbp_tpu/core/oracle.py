@@ -48,6 +48,10 @@ def dense_joint(graph: Graph, state: GBPState):
         pot_eta, pot_lam = factor_potential(fb, fs)
         f_eta = pot_eta * w[:, None]
         f_lam = pot_lam * w[:, None, None]
+        if fb.valid is not None:
+            # Select (not scale): padded rows may hold non-finite values.
+            f_eta = jnp.where(fb.valid[:, None], f_eta, 0.0)
+            f_lam = jnp.where(fb.valid[:, None, None], f_lam, 0.0)
         gidx = jnp.concatenate(
             [
                 offs[vb] + fb.adj[k][:, None] * fb.dofs[k] + jnp.arange(fb.dofs[k])[None, :]

@@ -136,3 +136,29 @@ def run_priority(graph: Graph, state: GBPState, cfg: GBPConfig,
 
     state, _ = jax.lax.fori_loop(0, n_iters, body, (state, sched))
     return state
+
+
+def random_masks(graph: Graph, key, keep_prob: float) -> tuple:
+    """Independent Bernoulli(keep_prob) activity per factor (the message-loss
+    / node-failure robustness setting of arXiv:2107.02308 §3.5)."""
+    keys = jax.random.split(key, len(graph.fblocks))
+    return tuple(
+        jax.random.bernoulli(k, keep_prob, (fb.count,))
+        for k, fb in zip(keys, graph.fblocks)
+    )
+
+
+@f32_exact
+def run_random(graph: Graph, state: GBPState, cfg: GBPConfig,
+               n_iters: int, keep_prob: float, key):
+    """n_iters sweeps with random factor dropout in one compiled loop.
+
+    GBP converges under lossy/partial schedules (2107.02308 §3.5); this is
+    both a robustness test harness and the model for tolerating dropped halo
+    exchanges in distributed runs (SURVEY.md §5 'failure detection')."""
+
+    def body(i, s):
+        masks = random_masks(graph, jax.random.fold_in(key, i), keep_prob)
+        return sweep(graph, s, cfg, active=masks)
+
+    return jax.lax.fori_loop(0, n_iters, body, state)

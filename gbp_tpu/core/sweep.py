@@ -407,6 +407,17 @@ def _marginalize_onto(eta, lam, off, d) -> Gaussian:
 # --- graph-level steps ------------------------------------------------------
 
 
+def _pack_msgs(fs: FactorState, slot: int) -> jnp.ndarray:
+    """Messages of one slot packed as a single wide 2D array [m, d + d*d].
+
+    TPU gathers/scatters of narrow [m, d] rows and 3D [m, d, d] operands
+    lower to near-serial row copies (measured 60+ ms/sweep at 470k factors);
+    the same data moved as one wide 2D array runs at memory bandwidth."""
+    me = fs.msg_eta[slot]
+    ml = fs.msg_lam[slot]
+    return jnp.concatenate([me, ml.reshape(ml.shape[0], -1)], axis=1)
+
+
 @f32_exact
 def update_beliefs(graph: Graph, state: GBPState) -> GBPState:
     """belief = prior (+) sum of factor->variable messages (SURVEY.md C2).
@@ -415,43 +426,78 @@ def update_beliefs(graph: Graph, state: GBPState) -> GBPState:
     carries precomputed inboxes (single-chip fast path: TPU scatter serializes
     and dominated the sweep), segment_sum scatter otherwise (multi-chip GSPMD
     path: psum of partial scatter sums beats all-gathering factor messages).
+    Both operate on (eta|lam)-packed wide rows — see _pack_msgs.
     """
     new_v = []
     for vi, vb in enumerate(graph.vblocks):
-        eta = vb.prior_eta
-        lam = vb.prior_lam
+        d = vb.dof
+        packed = jnp.concatenate(
+            [vb.prior_eta, vb.prior_lam.reshape(vb.count, -1)], axis=1
+        )
         specs = None if graph.inboxes is None else graph.inboxes[vi]
         if specs is not None:
             for spec in specs:
-                fs = state.f[spec.fi]
-                me = fs.msg_eta[spec.slot][spec.idx]  # [n, max_deg, d]
-                ml = fs.msg_lam[spec.slot][spec.idx]  # [n, max_deg, d, d]
-                sel = spec.mask[:, :, None]
-                eta = eta + jnp.sum(jnp.where(sel, me, 0.0), axis=1)
-                lam = lam + jnp.sum(jnp.where(sel[..., None], ml, 0.0), axis=1)
+                mp = _pack_msgs(state.f[spec.fi], spec.slot)
+                g = mp[spec.idx]  # [n, max_deg, d + d*d]
+                packed = packed + jnp.sum(
+                    jnp.where(spec.mask[:, :, None], g, 0.0), axis=1
+                )
         else:
             for fi, fb in enumerate(graph.fblocks):
-                fs = state.f[fi]
                 for k, target in enumerate(fb.vblocks):
                     if target != vi:
                         continue
-                    eta = eta + jax.ops.segment_sum(
-                        fs.msg_eta[k], fb.adj[k], num_segments=vb.count
-                    )
-                    lam = lam + jax.ops.segment_sum(
-                        fs.msg_lam[k], fb.adj[k], num_segments=vb.count
-                    )
+                    mp = _pack_msgs(state.f[fi], k)
+                    if fb.ell_slot == k:
+                        # ELL layout: contiguous reshape-sum, no scatter.
+                        # Padded rows' messages are identically zero (they
+                        # are never active), so no mask is needed.
+                        packed = packed + jnp.sum(
+                            mp.reshape(vb.count, fb.ell_deg, -1), axis=1
+                        )
+                    else:
+                        packed = packed + jax.ops.segment_sum(
+                            mp, fb.adj[k], num_segments=vb.count
+                        )
+        eta = packed[:, :d]
+        lam = packed[:, d:].reshape(vb.count, d, d)
         mean = scaled_sym_solve(lam, eta)
         new_v.append(VariableState(eta=eta, lam=lam, mean=mean))
     return state.replace(v=tuple(new_v))
 
 
-def _gather_beliefs(graph: Graph, state: GBPState, fi: int) -> tuple:
+def _gather_beliefs_and_means(graph: Graph, state: GBPState, fi: int):
+    """Per-factor adjacent beliefs + means in ONE wide 2D gather per slot.
+
+    Packs each variable block's (eta | lam | mean) into [n, 2d + d*d] rows so
+    the per-factor gather moves wide contiguous rows (see _pack_msgs for why),
+    then splits.  Returns (beliefs tuple, linpoint x [m, tdof])."""
     fb = graph.fblocks[fi]
-    return tuple(
-        Gaussian(state.v[vb].eta[fb.adj[k]], state.v[vb].lam[fb.adj[k]])
-        for k, vb in enumerate(fb.vblocks)
-    )
+    beliefs, means = [], []
+    for k, vb in enumerate(fb.vblocks):
+        vs = state.v[vb]
+        n, d = vs.eta.shape
+        packed = jnp.concatenate(
+            [vs.eta, vs.lam.reshape(n, -1), vs.mean], axis=1
+        )
+        if fb.ell_slot == k:
+            # ELL layout: row r belongs to variable r // ell_deg — the
+            # "gather" is a broadcast + reshape, no data-dependent indexing.
+            f = packed.shape[-1]
+            packed = jnp.broadcast_to(
+                packed[:, None, :], (n, fb.ell_deg, f)
+            ).reshape(n * fb.ell_deg, f)
+        else:
+            packed = packed[fb.adj[k]]
+        beliefs.append(
+            Gaussian(packed[:, :d], packed[:, d:-d].reshape(-1, d, d))
+        )
+        means.append(packed[:, -d:])
+    return tuple(beliefs), jnp.concatenate(means, axis=-1)
+
+
+def _gather_beliefs(graph: Graph, state: GBPState, fi: int) -> tuple:
+    return _gather_beliefs_and_means(graph, state, fi)[0]
 
 
 @f32_exact
@@ -469,9 +515,8 @@ def sweep(graph: Graph, state: GBPState, cfg: GBPConfig,
         act = None if active is None else active[fi]
         if fb.valid is not None:
             act = fb.valid if act is None else (act & fb.valid)
-        x = gather_linpoint(graph, state, fi)
+        beliefs, x = _gather_beliefs_and_means(graph, state, fi)
         fs = _relinearize(fb, fs, x, cfg, act)
-        beliefs = _gather_beliefs(graph, state, fi)
         fs = _compute_messages(fb, fs, beliefs, cfg, act)
         new_f.append(fs)
     state = state.replace(f=tuple(new_f))

@@ -122,8 +122,14 @@ def build(
     lmk_prior_prec=1.0,
     normalized=True,
     dtype=jnp.float32,
+    layout="ell",
 ):
     """Build the BA factor graph; returns (graph, init_means).
+
+    layout="ell" (default) stores observations grouped by landmark and
+    padded to uniform track length, making landmark belief broadcasts and
+    belief updates gather/scatter-free on TPU (core/graph.py); pass "none"
+    for insertion-order rows.
 
     Priors (SURVEY.md C9): camera 0 anchored strongly (6-dof gauge) with
     anchor_prec[0]; camera 1 translation anchored with anchor_prec[1] to pin
@@ -159,7 +165,7 @@ def build(
         k_per_obs = np.tile(k_arr, (m, 1))
         b.add_factors("reproj", reprojection.reprojection(), conns, sim["obs"],
                       sigma=pix_sigma, args=k_per_obs, huber=huber)
-    graph, means = b.build()
+    graph, means = b.build(layout=layout)
     return graph, means
 
 
@@ -172,6 +178,7 @@ def build_bal(
     lmk_prior_prec=1.0,
     normalized=True,
     dtype=jnp.float32,
+    layout="ell",
 ):
     """Build a BA graph from a BAL-convention problem (io.bal.to_sim dict).
 
@@ -202,13 +209,18 @@ def build_bal(
         b.add_factors("reproj", reprojection.bal_reprojection_normalized(),
                       conns, z, sigma=sigma, args=intr[cam_ids, 1:3],
                       huber=huber)
-        px_scale = np.broadcast_to(f_per_obs[:, None], z.shape).copy()
     else:
         b.add_factors("reproj", reprojection.bal_reprojection(), conns,
                       sim["obs"], sigma=pix_sigma, args=intr[cam_ids],
                       huber=huber)
-        px_scale = np.ones_like(sim["obs"])
-    graph, means = b.build()
+    graph, means = b.build(layout=layout)
+    # px_scale is derived from the BUILT rows (ELL layout permutes them).
+    fb = graph.fblocks[0]
+    if normalized:
+        f_row = intr[np.asarray(fb.adj[0]), 0]
+        px_scale = np.broadcast_to(f_row[:, None], (fb.count, 2)).copy()
+    else:
+        px_scale = np.ones((fb.count, 2))
     return graph, means, jnp.asarray(px_scale, dtype=dtype)
 
 
@@ -306,7 +318,12 @@ def avg_reprojection_error(graph: Graph, state: GBPState, fi: int = 0, k=None,
     """The reference's `are()` metric in pixels (SURVEY.md C9).
 
     Pass k (intrinsics [fx, fy, cx, cy]) or px_scale [m, 2] for
-    normalized-coordinate graphs."""
+    normalized-coordinate graphs.  ELL padding rows are excluded."""
     if k is not None or px_scale is not None:
-        return jnp.mean(reprojection_errors_px(graph, state, k, fi, px_scale))
-    return jnp.mean(reprojection_errors(graph, state, fi))
+        e = reprojection_errors_px(graph, state, k, fi, px_scale)
+    else:
+        e = reprojection_errors(graph, state, fi)
+    valid = graph.fblocks[fi].valid
+    if valid is None:
+        return jnp.mean(e)
+    return jnp.sum(jnp.where(valid, e, 0.0)) / jnp.sum(valid)

@@ -102,7 +102,7 @@ def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
     p1, q1, ml1 = slot(be1_ref, bl1_ref, me1_ref, ml1_ref, j1, x0[d0:], d1)
 
     srel = srel_ref[0]
-    act = act_ref[0]
+    act = act_ref[0] > 0.5
     damp = jnp.where(srel >= num_undamped, eta_damping, 0.0)
     ldamp = jnp.where(srel >= num_undamped, lam_damping, 0.0)
 
@@ -114,12 +114,15 @@ def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
         lam_msg = cl.csym(cl.cmm(cl.ct(j_a), sj))
         eta_msg = cl.cmv(cl.ct(sj), u)
         me_old = _comps(me_ref, d_a)
+        # Masked rows keep their old message via a select (NOT an arithmetic
+        # mix: padded/inactive rows may compute non-finite candidates, and
+        # NaN * 0 would poison them).
         for i in range(d_a):
             ne = (1.0 - damp) * eta_msg[i] + damp * me_old[i]
-            oe_ref[i] = act * ne + (1.0 - act) * me_old[i]
+            oe_ref[i] = jnp.where(act, ne, me_old[i])
             for jj in range(d_a):
                 nl = (1.0 - ldamp) * lam_msg[i][jj] + ldamp * ml_old[i][jj]
-                ol_ref[i * d_a + jj] = act * nl + (1.0 - act) * ml_old[i][jj]
+                ol_ref[i * d_a + jj] = jnp.where(act, nl, ml_old[i][jj])
 
     emit(j0, x0[:d0], p1, q1, me0_ref, ml0, oe0_ref, ol0_ref, d0)
     emit(j1, x0[d0:], p0, q0, me1_ref, ml1, oe1_ref, ol1_ref, d1)

@@ -71,13 +71,16 @@ def gauss_newton_step(graph: Graph, means: tuple, fi: int = 0, cam_vi: int = 0,
     # Linearize all factors at the current means.
     x = jnp.concatenate([means[cam_vi][cam_ids], means[lmk_vi][lmk_ids]], axis=-1)
     jac, r0 = linearize_block(fb, x)
+    if fb.valid is not None:
+        # Zero padded rows at the source: they may hold non-finite values
+        # (clones linearized at unrelated states), and 0 * inf = NaN.
+        jac = jnp.where(fb.valid[:, None, None], jac, 0.0)
+        r0 = jnp.where(fb.valid[:, None], r0, 0.0)
     w = huber_weight(fb, r0)
     if fb.prec.ndim == 2:
         jw = jac * (fb.prec * w[:, None])[:, :, None]  # Lam_meas J (weighted)
     else:
         jw = bmm(fb.prec, jac) * w[:, None, None]
-    if fb.valid is not None:
-        jw = jnp.where(fb.valid[:, None, None], jw, 0.0)
     jc, jl = jac[:, :, :d_c], jac[:, :, d_c:]
     jwc, jwl = jw[:, :, :d_c], jw[:, :, d_c:]
 

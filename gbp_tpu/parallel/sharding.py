@@ -53,6 +53,9 @@ def pad_graph(graph: Graph, n_devices: int) -> Graph:
     """
     new_fblocks = []
     for fb in graph.fblocks:
+        # Appending rows breaks the ELL row-grouping invariant; drop the
+        # markers (the sharded path uses segment_sum regardless).
+        fb = fb.replace(ell_slot=None, ell_deg=0)
         m = fb.count
         target = ((m + n_devices - 1) // n_devices) * n_devices
         valid = fb.valid

@@ -73,6 +73,8 @@ def partition_graph(graph: Graph, n_chips: int, anchor_slot: int = 0):
             valid[c * m_loc : c * m_loc + int(counts[c])] = True
 
         fb_new = fb.replace(
+            ell_slot=None,  # chip-major reorder breaks the ELL row grouping
+            ell_deg=0,
             adj=tuple(jnp.asarray(place(a)) for a in fb.adj),
             z=jnp.asarray(place(fb.z)),
             prec=jnp.asarray(place(fb.prec, fill=1)),
@@ -153,31 +155,28 @@ def _update_beliefs_local(graph: Graph, state: GBPState, axis: str) -> GBPState:
     psum over the mesh, then the belief solve (identical on every chip)."""
     new_v = []
     for vi, vb in enumerate(graph.vblocks):
-        eta = jnp.zeros_like(vb.prior_eta)
-        lam = jnp.zeros_like(vb.prior_lam)
+        d = vb.dof
+        packed = jnp.zeros((vb.count, d + d * d), vb.prior_eta.dtype)
         specs = None if graph.inboxes is None else graph.inboxes[vi]
         if specs is not None:
             for spec in specs:
-                fs = state.f[spec.fi]
-                me = fs.msg_eta[spec.slot][spec.idx]
-                ml = fs.msg_lam[spec.slot][spec.idx]
-                sel = spec.mask[:, :, None]
-                eta = eta + jnp.sum(jnp.where(sel, me, 0.0), axis=1)
-                lam = lam + jnp.sum(jnp.where(sel[..., None], ml, 0.0), axis=1)
+                mp = sweep_mod._pack_msgs(state.f[spec.fi], spec.slot)
+                g = mp[spec.idx]
+                packed = packed + jnp.sum(
+                    jnp.where(spec.mask[:, :, None], g, 0.0), axis=1
+                )
         else:
             for fi, fb in enumerate(graph.fblocks):
-                fs = state.f[fi]
                 for k, target in enumerate(fb.vblocks):
                     if target != vi:
                         continue
-                    eta = eta + jax.ops.segment_sum(
-                        fs.msg_eta[k], fb.adj[k], num_segments=vb.count
+                    packed = packed + jax.ops.segment_sum(
+                        sweep_mod._pack_msgs(state.f[fi], k), fb.adj[k],
+                        num_segments=vb.count,
                     )
-                    lam = lam + jax.ops.segment_sum(
-                        fs.msg_lam[k], fb.adj[k], num_segments=vb.count
-                    )
-        eta = vb.prior_eta + jax.lax.psum(eta, axis)  # the halo exchange
-        lam = vb.prior_lam + jax.lax.psum(lam, axis)
+        packed = jax.lax.psum(packed, axis)  # the halo exchange
+        eta = vb.prior_eta + packed[:, :d]
+        lam = vb.prior_lam + packed[:, d:].reshape(vb.count, d, d)
         mean = sweep_mod.scaled_sym_solve(lam, eta)
         new_v.append(VariableState(eta=eta, lam=lam, mean=mean))
     return state.replace(v=tuple(new_v))
@@ -189,9 +188,8 @@ def _sweep_local(graph: Graph, state: GBPState, cfg: GBPConfig, axis: str) -> GB
     for fi, fb in enumerate(graph.fblocks):
         fs = state.f[fi]
         act = fb.valid
-        x = sweep_mod.gather_linpoint(graph, state, fi)
+        beliefs, x = sweep_mod._gather_beliefs_and_means(graph, state, fi)
         fs = sweep_mod._relinearize(fb, fs, x, cfg, act)
-        beliefs = sweep_mod._gather_beliefs(graph, state, fi)
         fs = sweep_mod._compute_messages(fb, fs, beliefs, cfg, act)
         new_f.append(fs)
     state = state.replace(f=tuple(new_f))

@@ -56,7 +56,7 @@ def test_padding_dummies_are_inert():
     # Padding to 8 devices adds dummy factors; results must be identical to
     # the unpadded graph run on one device.
     sim = ba.simulate(n_cams=6, n_lmks=80, seed=1)
-    graph, means = ba.build(sim, dtype=jnp.float64)
+    graph, means = ba.build(sim, dtype=jnp.float64, layout="none")
     m = graph.fblocks[0].count
     assert m % 8 != 0  # ensure padding actually happens
     cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)

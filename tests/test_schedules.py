@@ -10,6 +10,7 @@ from gbp_tpu.core.schedules import (
     init_schedule,
     priority_masks,
     run_priority,
+    run_random,
     run_wildfire,
     wildfire_masks,
 )
@@ -45,6 +46,19 @@ def test_priority_halves_converge_to_map():
     graph, means = build_chain(seed=2)
     state = init_state(graph, means)
     state = jax.jit(run_priority, static_argnums=(3, 4))(graph, state, CFG, 200, 0.5)
+    expected = map_solution(graph, state)[0]
+    np.testing.assert_allclose(
+        np.asarray(state.v[0].mean), np.asarray(expected), atol=1e-6
+    )
+
+
+def test_random_dropout_converges_to_map():
+    # Message-loss robustness (arXiv:2107.02308 §3.5): GBP still reaches the
+    # MAP fixed point when 30% of factors drop out of every sweep.
+    graph, means = build_chain(seed=6)
+    state = init_state(graph, means)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(run_random, static_argnums=3)(graph, state, CFG, 250, 0.7, key)
     expected = map_solution(graph, state)[0]
     np.testing.assert_allclose(
         np.asarray(state.v[0].mean), np.asarray(expected), atol=1e-6

@@ -56,8 +56,11 @@ def test_partition_balances_and_preserves_factors():
     p = spmd.partition_graph(graph, 4)
     for fb_old, fb_new in zip(graph.fblocks, p.fblocks):
         assert fb_new.count % 4 == 0
-        assert int(fb_new.valid.sum()) == fb_old.count
-        # Every original measurement appears exactly once among valid rows.
-        z_old = np.sort(np.asarray(fb_old.z), axis=0)
+        valid_old = (np.ones(fb_old.count, bool) if fb_old.valid is None
+                     else np.asarray(fb_old.valid))
+        assert int(fb_new.valid.sum()) == int(valid_old.sum())
+        # Every original (valid) measurement appears exactly once among the
+        # partitioned graph's valid rows.
+        z_old = np.sort(np.asarray(fb_old.z)[valid_old], axis=0)
         z_new = np.sort(np.asarray(fb_new.z)[np.asarray(fb_new.valid)], axis=0)
         np.testing.assert_array_equal(z_old, z_new)
