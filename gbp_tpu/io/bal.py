@@ -24,7 +24,7 @@ import gzip
 import numpy as np
 
 
-def read_bal(path):
+def read_bal(path, native: bool = True):
     """Parse a BAL file (optionally .gz) -> dict of numpy arrays.
 
     Returns dict with:
@@ -32,10 +32,23 @@ def read_bal(path):
       points:     [n_points, 3]
       obs:        [n_obs, 2] pixel measurements (BAL origin-centered)
       cam_ids, point_ids: [n_obs] int64
+
+    Uses the native C++ parser (io/native/fastbal.cpp, ~100 MB/s) when a
+    toolchain is available; falls back to pure Python otherwise.
     """
     opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "rt") as f:
-        tokens = f.read().split()
+    if native:
+        from gbp_tpu.io import _native
+
+        with opener(path, "rb") as f:
+            data = f.read()
+        out = _native.parse_bal_bytes(data)
+        if out is not None:
+            return out
+        tokens = data.decode().split()
+    else:
+        with opener(path, "rt") as f:
+            tokens = f.read().split()
     it = iter(tokens)
 
     def take(n):
