@@ -244,13 +244,14 @@ def _cavity_floor(cfg: GBPConfig, dtype) -> float:
 
 
 def _floor_cavity(cav_lam, belief_lam, floor):
-    """cav_lam += floor * diag(belief_lam) on the diagonal (roundoff guard)."""
+    """cav_lam += floor * diag(belief_lam) on the diagonal (roundoff guard).
+
+    Eye-masked multiply, not .at[] scatter: batched scatters get tile-padded
+    layouts from XLA (~60x memory blowup at millions of factors)."""
     if not floor:
         return cav_lam
-    d = cav_lam.shape[-1]
-    bdiag = jnp.diagonal(belief_lam, axis1=-2, axis2=-1)
-    idx = jnp.arange(d)
-    return cav_lam.at[..., idx, idx].add(floor * bdiag)
+    eye = jnp.eye(cav_lam.shape[-1], dtype=cav_lam.dtype)
+    return cav_lam + floor * belief_lam * eye
 
 
 def _messages_covariance(fb: FactorBlock, fs: FactorState, beliefs: tuple,
@@ -368,6 +369,66 @@ def _messages_fused(fb: FactorBlock, fs: FactorState, beliefs: tuple,
     return fs.replace(
         msg_eta=(oe0, oe1),
         msg_lam=(ol0.reshape(m, d0, d0), ol1.reshape(m, d1, d1)),
+    )
+
+
+def _use_fused_relin(cfg: GBPConfig, fb: FactorBlock) -> bool:
+    """Whole-sweep fusion (relinearize + messages in one Pallas kernel) is
+    available when the factor type has a component-form measurement model."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    return (
+        cfg.message_form == "pallas"
+        and len(fb.dofs) == 2
+        and fb.ftype.residual_fn is None
+        and fb.ftype.name in COMP_FACTORS
+    )
+
+
+def _fused_relin_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
+                          x: jnp.ndarray, cfg: GBPConfig,
+                          active: jnp.ndarray | None) -> FactorState:
+    """Relinearization + message update in one Pallas kernel pass."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+    from gbp_tpu.ops.messages_pallas import fused_relin_messages
+
+    d0, d1 = fb.dofs
+    t = d0 + d1
+    z = fb.z.shape[-1]
+    m = fb.count
+    dt = fs.r0.dtype
+    n_args = COMP_FACTORS[fb.ftype.name][1]
+    params = jnp.stack([
+        jnp.asarray(cfg.eta_damping, dt),
+        jnp.asarray(cfg.lam_damping, dt),
+        jnp.asarray(cfg.num_undamped_iters, dt),
+        jnp.asarray(_cavity_floor(cfg, dt), dt),
+        jnp.asarray(cfg.beta, dt),
+        jnp.asarray(cfg.min_linear_iters, dt),
+    ])
+    act = jnp.ones((m,), dt) if active is None else active
+    outs = fused_relin_messages(
+        params, x, fb.z,
+        None if n_args == 0 else fb.args,
+        fs.linpoint, fs.jac.reshape(m, -1), fs.r0,
+        fb.prec.reshape(m, -1) if fb.prec.ndim == 3 else fb.prec,
+        fs.since_relin, act,
+        beliefs[0].eta, beliefs[0].lam.reshape(m, -1),
+        beliefs[1].eta, beliefs[1].lam.reshape(m, -1),
+        fs.msg_eta[0], fs.msg_lam[0].reshape(m, -1),
+        fs.msg_eta[1], fs.msg_lam[1].reshape(m, -1),
+        d0=d0, d1=d1, z=z, prec_full=fb.prec.ndim == 3, huber=fb.huber,
+        comp_name=fb.ftype.name, n_args=n_args,
+        interpret=jax.default_backend() == "cpu",
+    )
+    oe0, ol0, oe1, ol1, lp, jc, r0, srel = outs
+    return fs.replace(
+        msg_eta=(oe0, oe1),
+        msg_lam=(ol0.reshape(m, d0, d0), ol1.reshape(m, d1, d1)),
+        linpoint=lp,
+        jac=jc.reshape(m, z, t),
+        r0=r0,
+        since_relin=srel.reshape(m).astype(jnp.int32),
     )
 
 
@@ -516,8 +577,11 @@ def sweep(graph: Graph, state: GBPState, cfg: GBPConfig,
         if fb.valid is not None:
             act = fb.valid if act is None else (act & fb.valid)
         beliefs, x = _gather_beliefs_and_means(graph, state, fi)
-        fs = _relinearize(fb, fs, x, cfg, act)
-        fs = _compute_messages(fb, fs, beliefs, cfg, act)
+        if _use_fused_relin(cfg, fb):
+            fs = _fused_relin_messages(fb, fs, beliefs, x, cfg, act)
+        else:
+            fs = _relinearize(fb, fs, x, cfg, act)
+            fs = _compute_messages(fb, fs, beliefs, cfg, act)
         new_f.append(fs)
     state = state.replace(f=tuple(new_f))
     return update_beliefs(graph, state)

@@ -60,12 +60,14 @@ def reprojection() -> FactorType:
         r, xc, pt = _cam_point(x)
         fx, fy = k[0], k[1]
         inv_z = 1.0 / xc[2]
-        # d(pixel)/d(Xc): [2, 3]
-        dpi = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=x.dtype)
-        dpi = dpi * jnp.stack([fx, fy])[:, None] * inv_z
-        dpi = dpi.at[:, 2].set(
-            jnp.stack([-fx * xc[0], -fy * xc[1]]) * inv_z * inv_z
-        )
+        zero = jnp.zeros_like(inv_z)
+        # d(pixel)/d(Xc): [2, 3].  Built with stack, NOT .at[].set(): under
+        # vmap XLA materializes the scatter with tile-padded layouts (~60x
+        # memory blowup at millions of factors).
+        dpi = jnp.stack([
+            jnp.stack([fx * inv_z, zero, -fx * xc[0] * inv_z * inv_z]),
+            jnp.stack([zero, fy * inv_z, -fy * xc[1] * inv_z * inv_z]),
+        ])
         # d(Xc)/d(omega) = -R [pt]x Jr(omega);  d(Xc)/dt = I;  d(Xc)/dX = R.
         jr = _right_jacobian_so3(x[:3])
         d_omega = -bmm(bmm(r, hat3(pt)), jr)
@@ -98,9 +100,13 @@ def reprojection_normalized() -> FactorType:
         del args
         r, xc, pt = _cam_point(x)
         inv_z = 1.0 / xc[2]
-        dpi = jnp.zeros((2, 3), dtype=x.dtype)
-        dpi = dpi.at[0, 0].set(inv_z).at[1, 1].set(inv_z)
-        dpi = dpi.at[:, 2].set(-xc[:2] * inv_z * inv_z)
+        zero = jnp.zeros_like(inv_z)
+        # Stack-built (no .at[].set(): vmapped scatters get tile-padded
+        # layouts from XLA — a ~60x memory blowup at millions of factors).
+        dpi = jnp.stack([
+            jnp.stack([inv_z, zero, -xc[0] * inv_z * inv_z]),
+            jnp.stack([zero, inv_z, -xc[1] * inv_z * inv_z]),
+        ])
         jr = _right_jacobian_so3(x[:3])
         d_omega = -bmm(bmm(r, hat3(pt)), jr)
         dxc = jnp.concatenate([d_omega, jnp.eye(3, dtype=x.dtype), r], axis=-1)

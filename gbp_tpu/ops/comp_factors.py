@@ -1,0 +1,146 @@
+"""Component-form measurement models for fully-fused Pallas sweeps.
+
+To fuse per-factor relinearization into the message kernel
+(ops/messages_pallas.py) the measurement function h(x) and its analytic
+Jacobian must be expressible in the kernel's component-major layout: state x
+as a list of (sublane, lane) factor tiles, outputs as component lists.  This
+module provides those forms for the hot factor types, mirroring the
+row-major implementations in gbp_tpu/factors/ (reprojection.py; unit-tested
+for equality against them).
+
+Registry: COMP_FACTORS[ftype.name] -> fn(x_comps, args_comps) returning
+(h [z], jac [z][t]) with all entries tiles.  Factor types not present here
+fall back to the unfused XLA relinearization path.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gbp_tpu.ops import comp_linalg as cl
+
+
+def _hat(w):
+    """Component hat operator: [3] -> [3][3]."""
+    zero = jnp.zeros_like(w[0])
+    return [
+        [zero, -w[2], w[1]],
+        [w[2], zero, -w[0]],
+        [-w[1], w[0], zero],
+    ]
+
+
+def _theta_coeffs(t2):
+    """(sinc, cosc, cc) as in utils/lie.py, elementwise on tiles."""
+    small = t2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(safe_t2)
+    sinc = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    cosc = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
+    cc = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (1.0 - sinc) / safe_t2)
+    return sinc, cosc, cc
+
+
+def _so3_exp(w):
+    """Rodrigues in component form: [3] -> R [3][3]."""
+    t2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    sinc, cosc, _ = _theta_coeffs(t2)
+    k = _hat(w)
+    kk = cl.cmm(k, k)
+    one = jnp.ones_like(w[0])
+    r = [[k[i][j] * sinc + kk[i][j] * cosc for j in range(3)] for i in range(3)]
+    for i in range(3):
+        r[i][i] = r[i][i] + one
+    return r
+
+
+def _right_jacobian(w):
+    """SO(3) right Jacobian Jr(w) = I - c1 [w]x + c2 [w]x^2 (component form,
+    coefficients as in factors/reprojection.py _right_jacobian_so3)."""
+    t2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    small = t2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(safe_t2)
+    safe_t3 = safe_t2 * theta
+    c1 = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
+    c2 = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (theta - jnp.sin(theta)) / safe_t3)
+    k = _hat(w)
+    kk = cl.cmm(k, k)
+    one = jnp.ones_like(w[0])
+    jr = [[-c1 * k[i][j] + c2 * kk[i][j] for j in range(3)] for i in range(3)]
+    for i in range(3):
+        jr[i][i] = jr[i][i] + one
+    return jr
+
+
+def _cam_point(x):
+    """x = [omega (3), t (3), X (3)] -> (R, Xc = R X + t, X)."""
+    w = x[0:3]
+    t = x[3:6]
+    pt = x[6:9]
+    r = _so3_exp(w)
+    xc = [cl.cmv(r, pt)[i] + t[i] for i in range(3)]
+    return r, xc, pt, w
+
+
+def reprojection_normalized_comp(x, args):
+    """Component form of factors/reprojection.reprojection_normalized."""
+    del args
+    r, xc, pt, w = _cam_point(x)
+    inv_z = 1.0 / xc[2]
+    h = [xc[0] * inv_z, xc[1] * inv_z]
+    # dpi [2][3]
+    zero = jnp.zeros_like(inv_z)
+    dpi = [
+        [inv_z, zero, -xc[0] * inv_z * inv_z],
+        [zero, inv_z, -xc[1] * inv_z * inv_z],
+    ]
+    jr = _right_jacobian(w)
+    d_omega = cl.cscale(cl.cmm(cl.cmm(r, _hat(pt)), jr), -1.0)  # [3][3]
+    one = jnp.ones_like(inv_z)
+    eye = [[one if i == j else zero for j in range(3)] for i in range(3)]
+    dxc = [d_omega[i] + eye[i] + r[i] for i in range(3)]  # [3][9] rows concat
+    jac = cl.cmm(dpi, dxc)  # [2][9]
+    return h, jac
+
+
+def bal_reprojection_normalized_comp(x, args):
+    """Component form of factors/reprojection.bal_reprojection_normalized.
+
+    args = [k1, k2] tiles; h = (1 + k1 r^2 + k2 r^4) * p, p = -Xc.xy / Xc.z.
+    The Jacobian is assembled analytically through the distortion chain rule.
+    """
+    k1, k2 = args[0], args[1]
+    r, xc, pt, w = _cam_point(x)
+    inv_z = 1.0 / xc[2]
+    p = [-xc[0] * inv_z, -xc[1] * inv_z]
+    r2 = p[0] * p[0] + p[1] * p[1]
+    dist = 1.0 + r2 * (k1 + k2 * r2)
+    h = [dist * p[0], dist * p[1]]
+
+    # dp/dXc [2][3] (p = -Xc.xy / Xc.z).
+    zero = jnp.zeros_like(inv_z)
+    dp = [
+        [-inv_z, zero, xc[0] * inv_z * inv_z],
+        [zero, -inv_z, xc[1] * inv_z * inv_z],
+    ]
+    # dh/dp = dist * I + p * (d dist/d r2) * d r2/dp;  d dist/d r2 = k1 + 2 k2 r2.
+    ddist = k1 + 2.0 * k2 * r2
+    dh_dp = [
+        [dist + p[0] * ddist * 2.0 * p[0], p[0] * ddist * 2.0 * p[1]],
+        [p[1] * ddist * 2.0 * p[0], dist + p[1] * ddist * 2.0 * p[1]],
+    ]
+    dh_dxc = cl.cmm(dh_dp, dp)  # [2][3]
+    jr = _right_jacobian(w)
+    d_omega = cl.cscale(cl.cmm(cl.cmm(r, _hat(pt)), jr), -1.0)
+    one = jnp.ones_like(inv_z)
+    eye = [[one if i == j else zero for j in range(3)] for i in range(3)]
+    dxc = [d_omega[i] + eye[i] + r[i] for i in range(3)]
+    jac = cl.cmm(dh_dxc, dxc)
+    return h, jac
+
+
+# ftype.name -> (comp fn, n_arg_components)
+COMP_FACTORS = {
+    "reprojection_normalized": (reprojection_normalized_comp, 0),
+    "bal_reprojection_normalized": (bal_reprojection_normalized_comp, 2),
+}

@@ -49,22 +49,23 @@ def _mat(comps, r, c):
     return [[comps[i * c + j] for j in range(c)] for i in range(r)]
 
 
-def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
-            be0_ref, bl0_ref, be1_ref, bl1_ref,
-            me0_ref, ml0_ref, me1_ref, ml1_ref,
-            oe0_ref, ol0_ref, oe1_ref, ol1_ref,
-            *, d0, d1, z, prec_full, huber):
-    t = d0 + d1
+def _message_math(params_ref, jac, x0, r0, prec_ref, srel, act,
+                  be0_ref, bl0_ref, be1_ref, bl1_ref,
+                  me0_ref, ml0_ref, me1_ref, ml1_ref,
+                  oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                  *, d0, d1, z, prec_full, huber):
+    """Covariance-form messages + damping + masking on component values.
+
+    jac: [z][t] component matrix; x0/r0: component lists; srel: tile (float);
+    act: bool tile.  Shared by the message-only and fused-relinearization
+    kernels.
+    """
     eta_damping = params_ref[0, 0]
     lam_damping = params_ref[0, 1]
     num_undamped = params_ref[0, 2]
     floor = params_ref[0, 3]
-
-    jac = _mat(_comps(jac_ref, z * t), z, t)  # [z][t]
     j0 = [row[:d0] for row in jac]
     j1 = [row[d0:] for row in jac]
-    x0 = _comps(x0_ref, t)
-    r0 = _comps(r0_ref, z)
 
     # Huber covariance-scaling weight from the linpoint residual (SURVEY C6).
     if prec_full:
@@ -101,8 +102,6 @@ def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
     p0, q0, ml0 = slot(be0_ref, bl0_ref, me0_ref, ml0_ref, j0, x0[:d0], d0)
     p1, q1, ml1 = slot(be1_ref, bl1_ref, me1_ref, ml1_ref, j1, x0[d0:], d1)
 
-    srel = srel_ref[0]
-    act = act_ref[0] > 0.5
     damp = jnp.where(srel >= num_undamped, eta_damping, 0.0)
     ldamp = jnp.where(srel >= num_undamped, lam_damping, 0.0)
 
@@ -126,6 +125,64 @@ def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
 
     emit(j0, x0[:d0], p1, q1, me0_ref, ml0, oe0_ref, ol0_ref, d0)
     emit(j1, x0[d0:], p0, q0, me1_ref, ml1, oe1_ref, ol1_ref, d1)
+
+
+def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
+            be0_ref, bl0_ref, be1_ref, bl1_ref,
+            me0_ref, ml0_ref, me1_ref, ml1_ref,
+            oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+            *, d0, d1, z, prec_full, huber):
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0_ref, bl0_ref, be1_ref, bl1_ref,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
+def _kernel_relin(params_ref, x_ref, z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
+                  srel_ref, act_ref,
+                  olp_ref, ojac_ref, or0_ref, osrel_ref,
+                  *, d0, d1, z, comp_name, n_args):
+    """Relinearization for one factor tile, masked by the beta / min-iters
+    policy (SURVEY.md C5), using a component-form measurement model
+    (ops/comp_factors.py).  Writes the updated factor state (linpoint, jac,
+    r0, since_relin); the message kernel (_kernel) consumes it directly in
+    component-major form.  Kept as a SEPARATE pallas_call from the message
+    kernel: a single 17-in/8-out fused call was miscompiled inside fori_loop
+    bodies (the last grid tiles of the later outputs were corrupted; the
+    same kernel was correct when dispatched sweep-by-sweep)."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    t = d0 + d1
+    beta = params_ref[0, 4]
+    min_linear = params_ref[0, 5]
+
+    x = _comps(x_ref, t)  # current adjacent belief means
+    lp = _comps(lp_ref, t)
+    srel = srel_ref[0]
+    act = act_ref[0] > 0.5
+    dist2 = sum((x[i] - lp[i]) * (x[i] - lp[i]) for i in range(t))
+    eligible = (dist2 > beta * beta) & (srel >= min_linear) & act
+
+    comp_fn = COMP_FACTORS[comp_name][0]
+    fargs = _comps(fargs_ref, n_args) if n_args else None
+    h, j_new = comp_fn(x, fargs)
+    z_meas = _comps(z_ref, z)
+    jac_old = _mat(_comps(jac_ref, z * t), z, t)
+    r0_old = _comps(r0_ref, z)
+
+    for i in range(t):
+        olp_ref[i] = jnp.where(eligible, x[i], lp[i])
+    for i in range(z):
+        or0_ref[i] = jnp.where(eligible, z_meas[i] - h[i], r0_old[i])
+        for j in range(t):
+            ojac_ref[i * t + j] = jnp.where(eligible, j_new[i][j], jac_old[i][j])
+    osrel_ref[0] = jnp.where(eligible, 0.0, srel + 1.0)
 
 
 def _to_cm(a, pad_rows, fill=0.0):
@@ -217,4 +274,115 @@ def fused_messages(params, jac, x0, r0, prec, since_relin, active,
         out_specs=out_specs,
         interpret=interpret,
     )(params.reshape(1, -1).astype(dt), *args)
+    return tuple(_from_cm(o, m) for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "comp_name",
+                     "n_args", "interpret"),
+)
+def fused_relin_messages(params, x, z_meas, fargs, linpoint, jac, r0, prec,
+                         since_relin, active,
+                         be0, bl0, be1, bl1, me0, ml0, me1, ml1,
+                         *, d0, d1, z, prec_full, huber, comp_name, n_args,
+                         interpret=False):
+    """Fully-fused sweep step: relinearize (masked, component-form measurement
+    model `comp_name` from ops/comp_factors.py) + message update.
+
+    params: [6] (eta_damping, lam_damping, num_undamped_iters, cavity_floor,
+    beta, min_linear_iters).  Returns (eta0, lam0, eta1, lam1, linpoint, jac,
+    r0, since_relin) with matrices flattened row-major 2D and since_relin as
+    float (cast by the caller).
+    """
+    m = x.shape[0]
+    t = d0 + d1
+    mp = ((m + TILE - 1) // TILE) * TILE
+    pad = mp - m
+    dt = x.dtype
+
+    prec_pad = (
+        jnp.concatenate([prec.reshape(m, -1), _eye_rows(z, pad, dt)], 0)
+        if (pad and prec_full) else None
+    )
+    if fargs is None or n_args == 0:
+        fargs_cm = jnp.zeros((1, mp // LANE, LANE), dt)
+        n_args = 0
+    else:
+        fargs_cm = _to_cm(fargs.reshape(m, -1), pad)
+
+    grid = (mp // TILE,)
+
+    def cm_spec(a):
+        return pl.BlockSpec((a.shape[0], SUB, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    params_cm = params.reshape(1, -1).astype(dt)
+    x_cm = _to_cm(x, pad)
+    srel_cm = _to_cm(since_relin.astype(dt), pad)
+    act_cm = _to_cm(active.astype(dt), pad)
+
+    # Stage 1: relinearization -> updated factor state (component-major).
+    relin_args = [
+        x_cm,
+        _to_cm(z_meas, pad),
+        fargs_cm,
+        _to_cm(linpoint, pad),
+        _to_cm(jac, pad),
+        _to_cm(r0, pad),
+        srel_cm,
+        act_cm,
+    ]
+    relin_out_shape = [
+        jax.ShapeDtypeStruct((t, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((z, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((1, mp // LANE, LANE), dt),
+    ]
+    lp_cm, jac_cm, r0_cm, srel_new_cm = pl.pallas_call(
+        functools.partial(_kernel_relin, d0=d0, d1=d1, z=z,
+                          comp_name=comp_name, n_args=n_args),
+        grid=grid,
+        out_shape=relin_out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [cm_spec(a) for a in relin_args],
+        out_specs=[cm_spec(o) for o in relin_out_shape],
+        interpret=interpret,
+    )(params_cm, *relin_args)
+
+    # Stage 2: the (fori-proven) message kernel on the updated state.
+    msg_args = [
+        jac_cm,
+        lp_cm,
+        r0_cm,
+        _to_cm(prec_pad, 0) if prec_pad is not None
+        else _to_cm(prec.reshape(m, -1), pad, fill=1.0),
+        srel_new_cm,
+        act_cm,
+        _to_cm(be0, pad),
+        _to_cm(jnp.concatenate([bl0, _eye_rows(d0, pad, dt)], 0) if pad else bl0, 0),
+        _to_cm(be1, pad),
+        _to_cm(jnp.concatenate([bl1, _eye_rows(d1, pad, dt)], 0) if pad else bl1, 0),
+        _to_cm(me0, pad),
+        _to_cm(ml0, pad),
+        _to_cm(me1, pad),
+        _to_cm(ml1, pad),
+    ]
+    msg_out_shape = [
+        jax.ShapeDtypeStruct((d0, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((d1, mp // LANE, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, mp // LANE, LANE), dt),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_kernel, d0=d0, d1=d1, z=z, prec_full=prec_full,
+                          huber=None if huber is None else float(huber)),
+        grid=grid,
+        out_shape=msg_out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [cm_spec(a) for a in msg_args],
+        out_specs=[cm_spec(o) for o in msg_out_shape],
+        interpret=interpret,
+    )(params_cm, *msg_args)
+    outs = outs + (lp_cm, jac_cm, r0_cm, srel_new_cm)
     return tuple(_from_cm(o, m) for o in outs)

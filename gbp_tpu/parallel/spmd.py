@@ -189,8 +189,11 @@ def _sweep_local(graph: Graph, state: GBPState, cfg: GBPConfig, axis: str) -> GB
         fs = state.f[fi]
         act = fb.valid
         beliefs, x = sweep_mod._gather_beliefs_and_means(graph, state, fi)
-        fs = sweep_mod._relinearize(fb, fs, x, cfg, act)
-        fs = sweep_mod._compute_messages(fb, fs, beliefs, cfg, act)
+        if sweep_mod._use_fused_relin(cfg, fb):
+            fs = sweep_mod._fused_relin_messages(fb, fs, beliefs, x, cfg, act)
+        else:
+            fs = sweep_mod._relinearize(fb, fs, x, cfg, act)
+            fs = sweep_mod._compute_messages(fb, fs, beliefs, cfg, act)
         new_f.append(fs)
     state = state.replace(f=tuple(new_f))
     return _update_beliefs_local(graph, state, axis)
