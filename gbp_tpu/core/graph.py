@@ -246,16 +246,29 @@ class GraphBuilder:
         m = fb["z"].shape[0]
         if m == 0:
             return fb, None, 0
+        # Prefer grouping by the slot whose OTHER slots have the fewest
+        # variables: the ELL slot's belief access becomes a free broadcast
+        # and its update a reshape-sum, while the remaining slots still
+        # gather/scatter — so those should read tiny tables with wide rows
+        # (e.g. BA: group by landmark, leaving the 64-camera table).
+        # Tiebreak by padding (rows); require rows <= max_pad_ratio * m.
         best = None
         for k, (vb, idx) in enumerate(fb["conns"]):
             deg = np.bincount(idx, minlength=vcounts[vb])
             d_max = max(int(deg.max()), 1)
             rows = vcounts[vb] * d_max
-            if rows <= max_pad_ratio * m and (best is None or rows < best[2]):
-                best = (k, d_max, rows)
+            if rows > max_pad_ratio * m:
+                continue
+            other = max(
+                (vcounts[vb2] for j, (vb2, _) in enumerate(fb["conns"]) if j != k),
+                default=0,
+            )
+            key = (other, rows)
+            if best is None or key < best[0]:
+                best = (key, k, d_max, rows)
         if best is None:
             return fb, None, 0
-        k, d_max, rows = best
+        _, k, d_max, rows = best
         vb_k, idx_k = fb["conns"][k]
         n = vcounts[vb_k]
         order = np.argsort(idx_k, kind="stable")
