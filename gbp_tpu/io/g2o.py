@@ -102,6 +102,49 @@ def read_g2o(path):
     return dict(kind="se3", poses=poses, edges_ij=ij, edges_z=z, edges_info=info)
 
 
+def _rotmat_to_quat(r):
+    """3x3 rotation matrix -> [qx, qy, qz, qw] (Shepperd's method)."""
+    t = np.trace(r)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([
+            (r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s,
+            (r[1, 0] - r[0, 1]) / s, 0.25 * s,
+        ])
+    i = int(np.argmax(np.diag(r)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(r[i, i] - r[j, j] - r[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[i] = 0.25 * s
+    q[j] = (r[j, i] + r[i, j]) / s
+    q[k] = (r[k, i] + r[i, k]) / s
+    q[3] = (r[k, j] - r[j, k]) / s
+    return q
+
+
+def write_g2o_se3(path, poses, edges_ij, edges_z, edges_info):
+    """Write an SE3 g2o file; poses/edges_z are [*, 6] (t, omega) rows
+    (inverse of read_g2o for kind='se3')."""
+    import jax.numpy as jnp
+
+    from gbp_tpu.utils.lie import so3_exp
+
+    poses = np.asarray(poses)
+    edges_info = np.asarray(edges_info)
+    with open(path, "w") as f:
+        for i, p in enumerate(poses):
+            q = _rotmat_to_quat(np.asarray(so3_exp(jnp.asarray(p[3:]))))
+            vals = " ".join(f"{x:.12g}" for x in np.concatenate([p[:3], q]))
+            f.write(f"VERTEX_SE3:QUAT {i} {vals}\n")
+        for (i, j), zrow, m in zip(np.asarray(edges_ij), np.asarray(edges_z),
+                                   edges_info):
+            q = _rotmat_to_quat(np.asarray(so3_exp(jnp.asarray(zrow[3:]))))
+            meas = " ".join(f"{x:.12g}" for x in np.concatenate([zrow[:3], q]))
+            tri = [m[a, b] for a in range(6) for b in range(a, 6)]
+            f.write(f"EDGE_SE3:QUAT {int(i)} {int(j)} {meas} "
+                    + " ".join(f"{x:.12g}" for x in tri) + "\n")
+
+
 def write_g2o_se2(path, poses, edges_ij, edges_z, edges_info):
     """Write an SE2 g2o file (inverse of read_g2o for kind='se2')."""
     poses = np.asarray(poses)

@@ -86,6 +86,22 @@ def test_g2o_roundtrip(tmp_path):
     np.testing.assert_allclose(out["edges_info"], info, atol=1e-10)
 
 
+def test_g2o_se3_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    poses = rng.standard_normal((3, 6)) * 0.5
+    ij = np.array([[0, 1], [1, 2]])
+    z = rng.standard_normal((2, 6)) * 0.3
+    info = np.tile(np.diag([4.0, 4.0, 4.0, 25.0, 25.0, 25.0]), (2, 1, 1))
+    path = tmp_path / "x3.g2o"
+    g2oio.write_g2o_se3(path, poses, ij, z, info)
+    out = g2oio.read_g2o(path)
+    assert out["kind"] == "se3"
+    np.testing.assert_allclose(out["poses"], poses, atol=1e-8)
+    np.testing.assert_array_equal(out["edges_ij"], ij)
+    np.testing.assert_allclose(out["edges_z"], z, atol=1e-8)
+    np.testing.assert_allclose(out["edges_info"], info, atol=1e-9)
+
+
 def test_g2o_file_slam_converges():
     data = g2oio.read_g2o(os.path.join(DATA, "manhattan_sim.g2o"))
     sub = dict(
