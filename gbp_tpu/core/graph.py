@@ -72,6 +72,10 @@ class FactorBlock(flax.struct.PyTreeNode):
     dofs: tuple = flax.struct.field(pytree_node=False, default=())  # dof per slot
     huber: float | None = flax.struct.field(pytree_node=False, default=None)
     name: str = flax.struct.field(pytree_node=False, default="factor")
+    # Number of REAL (valid) factors — static so schedules can size top-k
+    # budgets by true factor count, not padded row count.  None means all
+    # `count` rows are real.
+    n_valid: int | None = flax.struct.field(pytree_node=False, default=None)
     # ELL layout (see GraphBuilder.build): rows grouped by slot `ell_slot`'s
     # variable, padded to a uniform degree `ell_deg` (row r belongs to
     # variable r // ell_deg).  Enables gather-free belief broadcast and
@@ -361,6 +365,7 @@ class GraphBuilder:
                     dofs=dofs,
                     huber=fb["huber"],
                     name=fb["name"],
+                    n_valid=None if valid is None else int(valid.sum()),
                     ell_slot=ell_slot,
                     ell_deg=ell_deg,
                 )

@@ -74,9 +74,16 @@ def priority_masks(graph: Graph, state: GBPState, sched: ScheduleState,
     `frac` must be a static (Python) float under jit: the top-k size is a
     shape-like quantity (mark it static_argnums when jitting callers)."""
     masks = []
-    for s in scores(graph, state, sched):
+    for fb, s in zip(graph.fblocks, scores(graph, state, sched)):
         m = s.shape[0]
-        k = max(1, int(frac * m))
+        # Budget on REAL factors only: ELL/partition layouts pad blocks with
+        # invalid clone rows whose adjacent means move like their group's —
+        # counting them would both shrink the effective fraction and let
+        # clones crowd real factors out of the top-k.
+        n_real = fb.n_valid if fb.n_valid is not None else m
+        if fb.valid is not None:
+            s = jnp.where(fb.valid, s, -jnp.inf)
+        k = max(1, min(int(frac * n_real), m))
         thresh = jax.lax.top_k(s, k)[0][-1]
         masks.append(s >= thresh)
     return tuple(masks)

@@ -336,6 +336,19 @@ def _messages_schur(fb: FactorBlock, fs: FactorState, beliefs: tuple,
     return out
 
 
+def _kernel_params(cfg: GBPConfig, dt) -> jnp.ndarray:
+    """The shared [7] scalar-param vector of the Pallas kernels."""
+    return jnp.stack([
+        jnp.asarray(cfg.eta_damping, dt),
+        jnp.asarray(cfg.lam_damping, dt),
+        jnp.asarray(cfg.num_undamped_iters, dt),
+        jnp.asarray(_cavity_floor(cfg, dt), dt),
+        jnp.asarray(cfg.beta, dt),
+        jnp.asarray(cfg.min_linear_iters, dt),
+        jnp.asarray(cfg.cavity_jitter, dt),
+    ])
+
+
 def _messages_fused(fb: FactorBlock, fs: FactorState, beliefs: tuple,
                     cfg: GBPConfig, active: jnp.ndarray | None) -> FactorState:
     """Covariance-form messages + damping + masking in one Pallas kernel
@@ -347,12 +360,7 @@ def _messages_fused(fb: FactorBlock, fs: FactorState, beliefs: tuple,
     z = fb.z.shape[-1]
     m = fb.count
     dt = fs.r0.dtype
-    params = jnp.stack([
-        jnp.asarray(cfg.eta_damping, dt),
-        jnp.asarray(cfg.lam_damping, dt),
-        jnp.asarray(cfg.num_undamped_iters, dt),
-        jnp.asarray(_cavity_floor(cfg, dt), dt),
-    ])
+    params = _kernel_params(cfg, dt)
     act = jnp.ones((m,), dt) if active is None else active
     oe0, ol0, oe1, ol1 = fused_messages(
         params,
@@ -398,14 +406,7 @@ def _fused_relin_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
     m = fb.count
     dt = fs.r0.dtype
     n_args = COMP_FACTORS[fb.ftype.name][1]
-    params = jnp.stack([
-        jnp.asarray(cfg.eta_damping, dt),
-        jnp.asarray(cfg.lam_damping, dt),
-        jnp.asarray(cfg.num_undamped_iters, dt),
-        jnp.asarray(_cavity_floor(cfg, dt), dt),
-        jnp.asarray(cfg.beta, dt),
-        jnp.asarray(cfg.min_linear_iters, dt),
-    ])
+    params = _kernel_params(cfg, dt)
     act = jnp.ones((m,), dt) if active is None else active
     outs = fused_relin_messages(
         params, x, fb.z,

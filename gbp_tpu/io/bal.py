@@ -42,7 +42,13 @@ def read_bal(path, native: bool = True):
 
         with opener(path, "rb") as f:
             data = f.read()
-        out = _native.parse_bal_bytes(data)
+        try:
+            out = _native.parse_bal_bytes(data)
+        except ValueError:
+            # A native parse error (e.g. an exotic numeric token strtod can't
+            # take) should not be fatal: retry with the Python tokenizer,
+            # which raises its own error if the file is truly malformed.
+            out = None
         if out is not None:
             return out
         tokens = data.decode().split()

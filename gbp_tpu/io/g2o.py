@@ -10,10 +10,45 @@ SE2 lines:
 SE3 lines:
     VERTEX_SE3:QUAT id x y z qx qy qz qw
     EDGE_SE3:QUAT i j dx dy dz qx qy qz qw  <21 upper-tri information entries>
+
+Information-matrix convention
+-----------------------------
+g2o defines an edge's information matrix w.r.t. its own error vector
+e_g2o = vec(Z^-1 · X_i^-1 X_j): the translation error is expressed in the
+MEASUREMENT frame (t_err = R_z^T (h_t - z_t)).  Our factors
+(factors/odometry.py, factors/se3.py) use the residual
+e_ours = [z_t - h_t (frame i), log(R_h^T R_z)] whose translation block lives
+in frame i.  Exactly (not just to first order), e_g2o = -blockdiag(R_z^T, I)
+e_ours, so the information for our residual is the congruence
+
+    Lam_ours = A · Lam_g2o · A^T,     A = blockdiag(R_z, I)
+
+which this reader applies on load (and the writers invert).  For isotropic
+translation info the transform is the identity — anisotropic translation
+info is where skipping it silently mis-weights edges.  Rotation block: our
+log residual and g2o's quaternion-vector error agree to first order up to a
+global scale (q_vec ≈ ω/2); like gtsam/ceres we adopt the log convention
+verbatim, which matches how the standard benchmark files are produced and
+consumed.
 """
 from __future__ import annotations
 
 import numpy as np
+
+
+def _conj_info_se2(info, theta_z):
+    """Lam -> A Lam A^T with A = blockdiag(R(theta_z), 1) (see module docs)."""
+    c, s = np.cos(theta_z), np.sin(theta_z)
+    a = np.eye(3)
+    a[:2, :2] = [[c, -s], [s, c]]
+    return a @ info @ a.T
+
+
+def _conj_info_se3(info, r_z):
+    """Lam -> A Lam A^T with A = blockdiag(R_z, I_3) (see module docs)."""
+    a = np.eye(6)
+    a[:3, :3] = r_z
+    return a @ info @ a.T
 
 
 def _unpack_upper(vals, d):
@@ -64,7 +99,7 @@ def read_g2o(path):
             elif tag == "EDGE_SE2":
                 i, j = int(parts[1]), int(parts[2])
                 z = np.array(vals[:3])
-                info = _unpack_upper(vals[3:9], 3)
+                info = _conj_info_se2(_unpack_upper(vals[3:9], 3), z[2])
                 se2_e.append((i, j, z, info))
             elif tag == "VERTEX_SE3:QUAT":
                 t = np.array(vals[:3])
@@ -83,7 +118,7 @@ def read_g2o(path):
                 r = _quat_to_rotmat(np.array(vals[3:7]))
                 w = np.asarray(so3_log(jnp.asarray(r)))
                 z = np.concatenate([t, w])
-                info = _unpack_upper(vals[7:28], 6)
+                info = _conj_info_se3(_unpack_upper(vals[7:28], 6), r)
                 se3_e.append((i, j, z, info))
     if se2_v:
         ids = sorted(se2_v)
@@ -138,8 +173,10 @@ def write_g2o_se3(path, poses, edges_ij, edges_z, edges_info):
             f.write(f"VERTEX_SE3:QUAT {i} {vals}\n")
         for (i, j), zrow, m in zip(np.asarray(edges_ij), np.asarray(edges_z),
                                    edges_info):
-            q = _rotmat_to_quat(np.asarray(so3_exp(jnp.asarray(zrow[3:]))))
+            r_z = np.asarray(so3_exp(jnp.asarray(zrow[3:])))
+            q = _rotmat_to_quat(r_z)
             meas = " ".join(f"{x:.12g}" for x in np.concatenate([zrow[:3], q]))
+            m = _conj_info_se3(m, r_z.T)  # back to g2o's error frame
             tri = [m[a, b] for a in range(6) for b in range(a, 6)]
             f.write(f"EDGE_SE3:QUAT {int(i)} {int(j)} {meas} "
                     + " ".join(f"{x:.12g}" for x in tri) + "\n")
@@ -153,6 +190,7 @@ def write_g2o_se2(path, poses, edges_ij, edges_z, edges_info):
         for i, p in enumerate(poses):
             f.write(f"VERTEX_SE2 {i} {p[0]:.12g} {p[1]:.12g} {p[2]:.12g}\n")
         for (i, j), z, m in zip(np.asarray(edges_ij), np.asarray(edges_z), edges_info):
+            m = _conj_info_se2(m, -z[2])  # back to g2o's error frame
             tri = [m[a, b] for a in range(3) for b in range(a, 3)]
             f.write(
                 f"EDGE_SE2 {int(i)} {int(j)} {z[0]:.12g} {z[1]:.12g} {z[2]:.12g} "

@@ -9,6 +9,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <locale.h>
 
 namespace {
 
@@ -17,6 +18,14 @@ struct Cursor {
   const char* end;
 };
 
+// BAL files always use '.' decimals; strtod is LC_NUMERIC-dependent, so parse
+// under a cached C locale (a comma-decimal host locale would otherwise stop
+// every float at its '.' and garble the file).
+locale_t c_locale() {
+  static locale_t loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+  return loc;
+}
+
 // strtod-based token scan; returns false at end of buffer.
 bool next_double(Cursor& c, double* out) {
   while (c.p < c.end &&
@@ -24,7 +33,8 @@ bool next_double(Cursor& c, double* out) {
     ++c.p;
   if (c.p >= c.end) return false;
   char* endp = nullptr;
-  *out = std::strtod(c.p, &endp);
+  locale_t loc = c_locale();
+  *out = loc ? strtod_l(c.p, &endp, loc) : std::strtod(c.p, &endp);
   if (endp == c.p) return false;
   c.p = endp;
   return true;

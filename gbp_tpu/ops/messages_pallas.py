@@ -64,6 +64,7 @@ def _message_math(params_ref, jac, x0, r0, prec_ref, srel, act,
     lam_damping = params_ref[0, 1]
     num_undamped = params_ref[0, 2]
     floor = params_ref[0, 3]
+    jitter = params_ref[0, 6]
     j0 = [row[:d0] for row in jac]
     j1 = [row[d0:] for row in jac]
 
@@ -90,7 +91,7 @@ def _message_math(params_ref, jac, x0, r0, prec_ref, srel, act,
         ml = _mat(_comps(ml_ref, d * d), d, d)
         cav_lam = cl.csub(bl, ml)
         for i in range(d):
-            cav_lam[i][i] = cav_lam[i][i] + floor * bl[i][i]
+            cav_lam[i][i] = cav_lam[i][i] + floor * bl[i][i] + jitter
         cav_eta = [b - m for b, m in zip(_comps(be_ref, d), _comps(me_ref, d))]
         cav_cov = cl.cscaled_sym_inv(cav_lam)
         cav_mu = cl.cmv(cav_cov, cav_eta)
@@ -214,7 +215,9 @@ def fused_messages(params, jac, x0, r0, prec, since_relin, active,
                    *, d0, d1, z, prec_full, huber, interpret=False):
     """Fused message update for one 2-slot factor block.
 
-    params: [4] (eta_damping, lam_damping, num_undamped_iters, cavity_floor).
+    params: [7] (eta_damping, lam_damping, num_undamped_iters, cavity_floor,
+    beta, min_linear_iters, cavity_jitter) — beta/min_linear unused here but
+    kept so both kernels share one params layout.
     Matrix operands arrive flattened row-major 2D ([m, z*t], [m, d*d], ...).
     Returns (new_eta0 [m, d0], new_lam0 [m, d0*d0], new_eta1, new_lam1).
     """
@@ -290,8 +293,8 @@ def fused_relin_messages(params, x, z_meas, fargs, linpoint, jac, r0, prec,
     """Fully-fused sweep step: relinearize (masked, component-form measurement
     model `comp_name` from ops/comp_factors.py) + message update.
 
-    params: [6] (eta_damping, lam_damping, num_undamped_iters, cavity_floor,
-    beta, min_linear_iters).  Returns (eta0, lam0, eta1, lam1, linpoint, jac,
+    params: [7] (eta_damping, lam_damping, num_undamped_iters, cavity_floor,
+    beta, min_linear_iters, cavity_jitter).  Returns (eta0, lam0, eta1, lam1, linpoint, jac,
     r0, since_relin) with matrices flattened row-major 2D and since_relin as
     float (cast by the caller).
     """

@@ -61,6 +61,8 @@ def pad_graph(graph: Graph, n_devices: int) -> Graph:
         valid = fb.valid
         if valid is None:
             valid = jnp.ones((m,), dtype=bool)
+        if fb.n_valid is None:
+            fb = fb.replace(n_valid=int(np.asarray(valid).sum()))
         if target != m:
             fb = fb.replace(
                 adj=tuple(_pad_rows(a, target) for a in fb.adj),

@@ -71,8 +71,13 @@ def partition_graph(graph: Graph, n_chips: int, anchor_slot: int = 0):
         starts = np.concatenate([[0], np.cumsum(counts)])
         for c in range(n_chips):
             valid[c * m_loc : c * m_loc + int(counts[c])] = True
+        n_valid = (
+            int(valid.sum()) if fb.valid is None
+            else int((place(np.asarray(fb.valid), fill=False) & valid).sum())
+        )
 
         fb_new = fb.replace(
+            n_valid=n_valid,
             ell_slot=None,  # chip-major reorder breaks the ELL row grouping
             ell_deg=0,
             adj=tuple(jnp.asarray(place(a)) for a in fb.adj),

@@ -70,12 +70,19 @@ def test_bal_file_ba_converges():
     assert abs(are - are_map) < 0.05, (are, are_map)
 
 
+def _random_spd(rng, n, d):
+    a = rng.standard_normal((n, d, d))
+    return a @ a.transpose(0, 2, 1) + 3.0 * np.eye(d)
+
+
 def test_g2o_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     poses = rng.standard_normal((4, 3))
     ij = np.array([[0, 1], [1, 2], [2, 3], [0, 3]])
     z = rng.standard_normal((4, 3))
-    info = np.tile(np.diag([4.0, 4.0, 25.0]), (4, 1, 1))
+    # Anisotropic info: exercises the error-frame conjugation, which must be
+    # inverted exactly by the writer.
+    info = _random_spd(rng, 4, 3)
     path = tmp_path / "x.g2o"
     g2oio.write_g2o_se2(path, poses, ij, z, info)
     out = g2oio.read_g2o(path)
@@ -91,7 +98,7 @@ def test_g2o_se3_roundtrip(tmp_path):
     poses = rng.standard_normal((3, 6)) * 0.5
     ij = np.array([[0, 1], [1, 2]])
     z = rng.standard_normal((2, 6)) * 0.3
-    info = np.tile(np.diag([4.0, 4.0, 4.0, 25.0, 25.0, 25.0]), (2, 1, 1))
+    info = _random_spd(rng, 2, 6)
     path = tmp_path / "x3.g2o"
     g2oio.write_g2o_se3(path, poses, ij, z, info)
     out = g2oio.read_g2o(path)
@@ -99,7 +106,58 @@ def test_g2o_se3_roundtrip(tmp_path):
     np.testing.assert_allclose(out["poses"], poses, atol=1e-8)
     np.testing.assert_array_equal(out["edges_ij"], ij)
     np.testing.assert_allclose(out["edges_z"], z, atol=1e-8)
-    np.testing.assert_allclose(out["edges_info"], info, atol=1e-9)
+    np.testing.assert_allclose(out["edges_info"], info, atol=1e-7)
+
+
+def test_g2o_info_frame_energy_invariance(tmp_path):
+    """The info conjugation on load must make our residual's quadratic energy
+    equal g2o's own error energy EXACTLY, for any (not just small) residual:
+    e_g2o = -blockdiag(R_z^T, I) @ e_ours, so e^T Lam e is invariant when
+    Lam_ours = A Lam_g2o A^T with A = blockdiag(R_z, I)."""
+    import jax.numpy as jnp
+
+    from gbp_tpu.factors.se3 import se3_between
+    from gbp_tpu.utils.lie import so3_exp, so3_log
+
+    rng = np.random.default_rng(7)
+    info_file = _random_spd(rng, 1, 6)[0]  # strongly anisotropic
+    z_row = rng.standard_normal(6) * 0.8
+    xi = rng.standard_normal(6) * 0.6
+    xj = rng.standard_normal(6) * 0.6
+
+    # Write an edge with info in g2o's convention, read it back (conjugated).
+    path = tmp_path / "edge.g2o"
+    g2oio.write_g2o_se3(
+        path, np.stack([xi, xj]), np.array([[0, 1]]), z_row[None],
+        # write_g2o_se3 expects info in OUR convention and converts to the
+        # file frame; to plant a known FILE-frame info, pre-conjugate forward.
+        g2oio._conj_info_se3(info_file, np.asarray(so3_exp(jnp.asarray(z_row[3:]))))[None],
+    )
+    out = g2oio.read_g2o(path)
+    info_ours = out["edges_info"][0]
+    z_read = out["edges_z"][0]
+
+    # Our factor's residual at (xi, xj).
+    ft = se3_between()
+    h = np.asarray(ft.meas(jnp.concatenate([jnp.asarray(xi), jnp.asarray(xj)]), None))
+    e_ours = np.asarray(ft.residual(jnp.asarray(z_read), jnp.asarray(h)))
+
+    # g2o's error vector e = vec(Z^-1 X_i^-1 X_j), translation in frame Z.
+    ri = np.asarray(so3_exp(jnp.asarray(xi[3:])))
+    rj = np.asarray(so3_exp(jnp.asarray(xj[3:])))
+    rz = np.asarray(so3_exp(jnp.asarray(z_row[3:])))
+    r_delta = ri.T @ rj
+    t_delta = ri.T @ (xj[:3] - xi[:3])
+    t_e = rz.T @ (t_delta - z_row[:3])
+    w_e = np.asarray(so3_log(jnp.asarray(rz.T @ r_delta)))
+    e_g2o = np.concatenate([t_e, w_e])
+
+    energy_ours = e_ours @ info_ours @ e_ours
+    energy_g2o = e_g2o @ info_file @ e_g2o
+    np.testing.assert_allclose(energy_ours, energy_g2o, rtol=1e-7)
+    # And the naive (unconjugated) use of the file info would NOT match.
+    energy_naive = e_ours @ info_file @ e_ours
+    assert abs(energy_naive - energy_g2o) > 1e-3 * abs(energy_g2o)
 
 
 def test_g2o_file_slam_converges():
