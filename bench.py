@@ -33,13 +33,18 @@ def log(msg):
 def measure_tpu(sim):
     import jax
 
-    from gbp_tpu.core.sweep import GBPConfig, init_state, run
+    from gbp_tpu.core import sweep_cm
+    from gbp_tpu.core.sweep import GBPConfig
     from gbp_tpu.models import ba
 
     graph, means = ba.build(sim)  # f32, normalized coords
     cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
                     message_form="pallas")
-    state = init_state(graph, means)
+    # Persistent component-major sweep: the single-chip speed path (state
+    # stays in kernel layout across sweeps — core/sweep_cm.py).
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    assert cmg is not None, "bench graph must be CM-eligible"
+    state = sweep_cm.init_state(cmg, means)
     m = graph.fblocks[0].count
     log(f"[bench] graph: {N_CAMS} cams, {sim['lmk_init'].shape[0]} lmks, {m} factors "
         f"on {jax.devices()[0]}")
@@ -47,18 +52,19 @@ def measure_tpu(sim):
     # Warm up with the SAME static n_iters as the timed call: n_iters is a
     # static argument, so a different value would recompile inside the timed
     # region and pollute the measurement with ~10s of XLA compile time.
-    runj = jax.jit(run, static_argnums=3)
+    runj = jax.jit(sweep_cm.run, static_argnums=3)
     t0 = time.time()
-    state = runj(graph, state, cfg, SWEEPS)
+    state = runj(cmg, state, cfg, SWEEPS)
     state.v[0].mean.block_until_ready()
     log(f"[bench] warmup/compile+{SWEEPS} sweeps: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    state = runj(graph, state, cfg, SWEEPS)
+    state = runj(cmg, state, cfg, SWEEPS)
     state.v[0].mean.block_until_ready()
     dt = time.time() - t0
     sweeps_per_s = SWEEPS / dt
-    are = float(ba.avg_reprojection_error(graph, state, k=sim["k"]))
+    are = float(ba.avg_reprojection_error(
+        graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"]))
     log(f"[bench] {SWEEPS} sweeps in {dt:.3f}s -> {sweeps_per_s:.1f} sweeps/s; "
         f"ARE {are:.3f}px (sanity: finite and decreasing)")
     if not np.isfinite(are):

@@ -1,0 +1,347 @@
+"""Persistent component-major GBP sweeps — the single-chip speed path.
+
+The generic sweep (core/sweep.py, message_form='pallas') stores factor state
+row-major ([m, ...]) and transposes it to component-major ([F, T, LANE])
+around every Pallas call.  Measured at 470k BA factors those transposes plus
+the row-major belief expansion cost ~8 of the 13 ms/sweep — pure layout
+shuffling.  This module keeps the ENTIRE factor state component-major across
+sweeps, so the hot loop is:
+
+  1. belief expansion, straight into component-major form:
+       * ELL slot: the per-variable packed beliefs are transposed once
+         ([n, F] -> [F, n] — tiny) and broadcast-reshaped to [F, T, LANE];
+         with the ELL row invariant (row r belongs to variable r // deg) the
+         broadcast is a free-layout reshape, no indexing at all;
+       * gathered slot: one wide-row table gather + one transpose of the
+         GATHERED data only (or a trailing-axis take — build-time choice);
+  2. the two proven Pallas kernels (relinearize -> messages) operating
+     directly on resident CM arrays (ops/messages_pallas.py `fused_relin_cm`,
+     `fused_messages_cm`) — no transposes;
+  3. belief updates: ELL slot by a free reshape-sum over the degree axis;
+     gathered slot by the one-hot MXU segment-sum kernel (`segsum_cm`) that
+     reads the CM messages in place.
+
+Eligibility (falls back to core/sweep.py otherwise): a single 2-slot factor
+block in ELL layout with a component-form measurement model
+(ops/comp_factors.py) and diagonal measurement precision — which covers the
+flagship BA problems (reference: the `ba.py` hot loop, SURVEY.md §3.1).
+
+Semantics are identical to sweep.py with message_form='pallas' (same kernels,
+same masked relinearization/Huber/damping); `to_gbp_state` converts for
+diagnostics, checkpointing, and parity tests.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from gbp_tpu.core import sweep as sweep_mod
+from gbp_tpu.core.graph import Graph
+from gbp_tpu.core.sweep import (
+    GBPConfig,
+    GBPState,
+    VariableState,
+    f32_exact,
+)
+from gbp_tpu.ops.messages_pallas import (
+    LANE,
+    TILE,
+    fused_messages_cm,
+    fused_relin_cm,
+    segsum_cm,
+)
+from gbp_tpu.utils.smalllinalg import scaled_sym_solve
+
+
+class CMFactorState(flax.struct.PyTreeNode):
+    """Factor state resident in component-major layout [F, T, LANE]."""
+
+    lp: jnp.ndarray  # [t, T, LANE] linearization point
+    jac: jnp.ndarray  # [z*t, T, LANE]
+    r0: jnp.ndarray  # [z, T, LANE]
+    srel: jnp.ndarray  # [1, T, LANE] float sweeps-since-relin
+    msg_eta: tuple  # per slot [d_k, T, LANE]
+    msg_lam: tuple  # per slot [d_k*d_k, T, LANE]
+
+
+class CMState(flax.struct.PyTreeNode):
+    v: tuple  # tuple[VariableState] — row-major, same as GBPState.v
+    f: CMFactorState
+
+
+class CMGraph(flax.struct.PyTreeNode):
+    """Static per-graph data for the CM sweep (component-major, padded)."""
+
+    base: Graph
+    z: jnp.ndarray  # [z, T, LANE]
+    prec: jnp.ndarray  # [z, T, LANE] diagonal measurement precision
+    args: jnp.ndarray | None  # [n_args, T, LANE]
+    act: jnp.ndarray  # [1, T, LANE] float; 0 = padded/invalid row
+    gidx_cm: jnp.ndarray  # [1, T, LANE] int32 gathered-slot variable ids
+    gidx_rm: jnp.ndarray  # [mp] int32, same ids row-major (for the gather)
+    mp: int = flax.struct.field(pytree_node=False, default=0)
+    nv: int = flax.struct.field(pytree_node=False, default=0)  # virtual ELL vars
+    # 'rows': gather packed [n, F] rows then transpose; 'take1': gather along
+    # the trailing axis of the pre-transposed [F, n] table.
+    gather_mode: str = flax.struct.field(pytree_node=False, default="rows")
+    segsum_exact: bool = flax.struct.field(pytree_node=False, default=False)
+
+    @property
+    def fb(self):
+        return self.base.fblocks[0]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _rm2cm(a: jnp.ndarray) -> jnp.ndarray:
+    """[mp, F] -> [F, T, LANE] (rows already padded to a TILE multiple)."""
+    mp, f = a.shape
+    return jnp.swapaxes(a, 0, 1).reshape(f, mp // LANE, LANE)
+
+
+def _cm2rm(a: jnp.ndarray, m: int) -> jnp.ndarray:
+    return jnp.swapaxes(a.reshape(a.shape[0], -1), 0, 1)[:m]
+
+
+def prepare(graph: Graph, gather_mode: str = "rows",
+            segsum_exact: bool = False) -> CMGraph | None:
+    """Build the CM static data for `graph`, or None if ineligible."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    if len(graph.fblocks) != 1:
+        return None
+    fb = graph.fblocks[0]
+    if (
+        len(fb.dofs) != 2
+        or fb.ell_slot is None
+        or fb.ftype.residual_fn is not None
+        or fb.ftype.name not in COMP_FACTORS
+        or fb.prec.ndim != 2
+    ):
+        return None
+    m = fb.count
+    deg = fb.ell_deg
+    lcm = TILE * deg // math.gcd(TILE, deg)
+    mp = ((m + lcm - 1) // lcm) * lcm
+    # Reject only genuinely degenerate padding: a large RELATIVE blowup that
+    # is also large in absolute rows (small graphs pad a lot relatively but
+    # the cost is negligible).
+    if mp > 4 * m and mp - m > 64 * TILE:
+        return None
+    nv = mp // deg
+    pad = mp - m
+    g = 1 - fb.ell_slot
+
+    dt = fb.z.dtype
+    act = jnp.ones((m,), dt) if fb.valid is None else fb.valid.astype(dt)
+    gidx = fb.adj[g].astype(jnp.int32)
+    to_cm = lambda a, fill=0.0: _rm2cm(
+        jnp.pad(a if a.ndim == 2 else a[:, None],
+                ((0, pad), (0, 0)), constant_values=fill))
+    args = fb.args
+    n_args = COMP_FACTORS[fb.ftype.name][1]
+    if args is not None and n_args:
+        args = to_cm(args.reshape(m, -1))
+    else:
+        args = None
+    return CMGraph(
+        base=graph,
+        z=to_cm(fb.z),
+        prec=to_cm(fb.prec, fill=1.0),
+        args=args,
+        act=to_cm(act),
+        gidx_cm=to_cm(gidx).astype(jnp.int32),
+        gidx_rm=jnp.pad(gidx, (0, pad)),
+        mp=mp,
+        nv=nv,
+        gather_mode=gather_mode,
+        segsum_exact=segsum_exact,
+    )
+
+
+@jax.jit
+@f32_exact
+def init_state(cmg: CMGraph, means: tuple) -> CMState:
+    """Beliefs = priors, factors linearized at `means`, zero messages."""
+    graph = cmg.base
+    fb = cmg.fb
+    m = fb.count
+    pad = cmg.mp - m
+    t_tiles = cmg.mp // LANE
+    vstates = tuple(
+        VariableState(eta=vb.prior_eta, lam=vb.prior_lam, mean=mu)
+        for vb, mu in zip(graph.vblocks, means)
+    )
+    x = jnp.concatenate(
+        [means[vb][fb.adj[k]] for k, vb in enumerate(fb.vblocks)], axis=-1
+    )
+    jac, r0 = sweep_mod.linearize_block(fb, x)
+    dt = jac.dtype
+    to_cm = lambda a: _rm2cm(jnp.pad(a, ((0, pad), (0, 0))))
+    zeros = lambda f: jnp.zeros((f, t_tiles, LANE), dt)
+    fstate = CMFactorState(
+        lp=to_cm(x),
+        jac=to_cm(jac.reshape(m, -1)),
+        r0=to_cm(r0),
+        srel=zeros(1),
+        msg_eta=tuple(zeros(d) for d in fb.dofs),
+        msg_lam=tuple(zeros(d * d) for d in fb.dofs),
+    )
+    return CMState(v=vstates, f=fstate)
+
+
+def _pack_beliefs(vs: VariableState) -> jnp.ndarray:
+    n, d = vs.eta.shape
+    return jnp.concatenate([vs.eta, vs.lam.reshape(n, -1), vs.mean], axis=1)
+
+
+def _expand_ell(cmg: CMGraph, vs: VariableState):
+    """ELL-slot beliefs -> CM [F, T, LANE] via transpose + free reshape.
+
+    Virtual padding variables get (eta=0, lam=I, mean=0) so padded factor
+    rows' cavity inverses stay finite (their outputs are masked by act)."""
+    fb = cmg.fb
+    deg = fb.ell_deg
+    n, d = vs.eta.shape
+    pk = _pack_beliefs(vs)  # [n, F]
+    if cmg.nv > n:
+        pad_row = jnp.concatenate(
+            [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
+        ).astype(pk.dtype)
+        pk = jnp.concatenate(
+            [pk, jnp.tile(pad_row[None, :], (cmg.nv - n, 1))], axis=0
+        )
+    f = pk.shape[1]
+    cm = jnp.broadcast_to(
+        jnp.swapaxes(pk, 0, 1)[:, :, None], (f, cmg.nv, deg)
+    ).reshape(f, cmg.mp // LANE, LANE)
+    d2 = d * d
+    return cm[:d], cm[d : d + d2], cm[d + d2 :]
+
+
+def _expand_gather(cmg: CMGraph, vs: VariableState):
+    """Gathered-slot beliefs -> CM via one wide-row gather (tiny table)."""
+    d = vs.eta.shape[1]
+    d2 = d * d
+    pk = _pack_beliefs(vs)  # [n, F]
+    if cmg.gather_mode == "take1":
+        cm = jnp.take(jnp.swapaxes(pk, 0, 1), cmg.gidx_rm, axis=1).reshape(
+            pk.shape[1], cmg.mp // LANE, LANE
+        )
+    else:
+        cm = _rm2cm(pk[cmg.gidx_rm])
+    return cm[:d], cm[d : d + d2], cm[d + d2 :]
+
+
+@f32_exact
+def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig) -> CMState:
+    """One synchronous GBP iteration on resident-CM state."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    fb = cmg.fb
+    e = fb.ell_slot
+    g = 1 - e
+    d0, d1 = fb.dofs
+    zdim = fb.z.shape[-1] if fb.z.ndim > 1 else 1
+    dt = state.f.r0.dtype
+    params = sweep_mod._kernel_params(cfg, dt)
+    interp = _interpret()
+
+    vs_e = state.v[fb.vblocks[e]]
+    vs_g = state.v[fb.vblocks[g]]
+    be_e, bl_e, mean_e = _expand_ell(cmg, vs_e)
+    be_g, bl_g, mean_g = _expand_gather(cmg, vs_g)
+    by_slot = lambda a_e, a_g: (a_e, a_g) if e == 0 else (a_g, a_e)
+    be0, be1 = by_slot(be_e, be_g)
+    bl0, bl1 = by_slot(bl_e, bl_g)
+    mean0, mean1 = by_slot(mean_e, mean_g)
+    x_cm = jnp.concatenate([mean0, mean1], axis=0)
+
+    fs = state.f
+    lp, jac, r0, srel = fused_relin_cm(
+        params, x_cm, cmg.z, cmg.args, fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
+        d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+        n_args=COMP_FACTORS[fb.ftype.name][1], interpret=interp,
+    )
+    oe0, ol0, oe1, ol1 = fused_messages_cm(
+        params, jac, lp, r0, cmg.prec, srel, cmg.act,
+        be0, bl0, be1, bl1,
+        fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+        d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+        interpret=interp,
+    )
+    fs = CMFactorState(lp=lp, jac=jac, r0=r0, srel=srel,
+                       msg_eta=(oe0, oe1), msg_lam=(ol0, ol1))
+
+    # --- belief updates -------------------------------------------------
+    new_v = list(state.v)
+    me_e, ml_e = fs.msg_eta[e], fs.msg_lam[e]
+    me_g, ml_g = fs.msg_eta[g], fs.msg_lam[g]
+
+    # ELL slot: padded/clone rows carry zero messages, so the plain
+    # reshape-sum over the degree axis is exact (same invariant as
+    # sweep.update_beliefs' ELL path).
+    d_e = fb.dofs[e]
+    vb_e = cmg.base.vblocks[fb.vblocks[e]]
+    n_e = vb_e.count
+    deg = fb.ell_deg
+    sum_e = jnp.concatenate([
+        me_e.reshape(d_e, cmg.nv, deg).sum(-1),
+        ml_e.reshape(d_e * d_e, cmg.nv, deg).sum(-1),
+    ])[:, :n_e]
+    eta_e = vb_e.prior_eta + jnp.swapaxes(sum_e[:d_e], 0, 1)
+    lam_e = vb_e.prior_lam + jnp.swapaxes(sum_e[d_e:], 0, 1).reshape(n_e, d_e, d_e)
+    new_v[fb.vblocks[e]] = VariableState(
+        eta=eta_e, lam=lam_e, mean=scaled_sym_solve(lam_e, eta_e)
+    )
+
+    # Gathered slot: one-hot MXU segment-sum over the CM messages in place.
+    d_g = fb.dofs[g]
+    vb_g = cmg.base.vblocks[fb.vblocks[g]]
+    n_g = vb_g.count
+    sum_g = segsum_cm(me_g, ml_g, cmg.gidx_cm, n_seg=n_g,
+                      exact=cmg.segsum_exact, interpret=interp)
+    eta_g = vb_g.prior_eta + jnp.swapaxes(sum_g[:d_g], 0, 1)
+    lam_g = vb_g.prior_lam + jnp.swapaxes(sum_g[d_g:], 0, 1).reshape(n_g, d_g, d_g)
+    new_v[fb.vblocks[g]] = VariableState(
+        eta=eta_g, lam=lam_g, mean=scaled_sym_solve(lam_g, eta_g)
+    )
+    return CMState(v=tuple(new_v), f=fs)
+
+
+@f32_exact
+def run(cmg: CMGraph, state: CMState, cfg: GBPConfig, n_iters: int) -> CMState:
+    """n_iters synchronous sweeps in one compiled fori_loop."""
+
+    def body(_, s):
+        return sweep(cmg, s, cfg)
+
+    return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+@jax.jit
+def to_gbp_state(cmg: CMGraph, state: CMState) -> GBPState:
+    """Convert to the row-major GBPState (diagnostics, checkpoints, tests)."""
+    fb = cmg.fb
+    m = fb.count
+    t = fb.tdof
+    z = fb.z.shape[-1]
+    fs = state.f
+    row = lambda a: _cm2rm(a, m)
+    fstate = sweep_mod.FactorState(
+        linpoint=row(fs.lp),
+        jac=row(fs.jac).reshape(m, z, t),
+        r0=row(fs.r0),
+        msg_eta=tuple(row(me) for me in fs.msg_eta),
+        msg_lam=tuple(
+            row(ml).reshape(m, d, d) for ml, d in zip(fs.msg_lam, fb.dofs)
+        ),
+        since_relin=row(fs.srel).reshape(m).astype(jnp.int32),
+    )
+    return GBPState(v=state.v, f=(fstate,))

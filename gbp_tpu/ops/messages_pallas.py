@@ -206,6 +206,164 @@ def _eye_rows(d, pad, dtype):
     return jnp.tile(jnp.eye(d, dtype=dtype).reshape(1, -1), (pad, 1))
 
 
+# --- component-major-resident wrappers ---------------------------------------
+# The wrappers below take operands that are ALREADY component-major
+# ([F, T, LANE] with T a multiple of SUB) and return component-major outputs:
+# the persistent-CM sweep (core/sweep_cm.py) keeps factor state in this layout
+# across sweeps, so no [m, F] <-> [F, T, LANE] transposes touch the hot loop.
+
+
+def _cm_grid_specs(arrs, out_shapes):
+    t_tiles = arrs[0].shape[1]
+    assert t_tiles % SUB == 0, t_tiles
+    grid = (t_tiles // SUB,)
+
+    def cm_spec(a):
+        return pl.BlockSpec((a.shape[0], SUB, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [cm_spec(a) for a in arrs]
+    out_specs = [cm_spec(o) for o in out_shapes]
+    return grid, in_specs, out_specs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "interpret"),
+)
+def fused_messages_cm(params, jac, x0, r0, prec, since_relin, active,
+                      be0, bl0, be1, bl1, me0, ml0, me1, ml1,
+                      *, d0, d1, z, prec_full, huber, interpret=False):
+    """fused_messages on component-major-resident operands (no transposes).
+
+    All per-factor operands are [F, T, LANE]; returns CM
+    (eta0 [d0, T, LANE], lam0 [d0*d0, ...], eta1, lam1)."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    args = [jac, x0, r0, prec, since_relin, active,
+            be0, bl0, be1, bl1, me0, ml0, me1, ml1]
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    grid, in_specs, out_specs = _cm_grid_specs(args, out_shape)
+    kernel = functools.partial(
+        _kernel, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=None if huber is None else float(huber),
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params.reshape(1, -1).astype(dt), *args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "interpret"),
+)
+def fused_relin_cm(params, x, z_meas, fargs, linpoint, jac, r0, since_relin,
+                   active, *, d0, d1, z, comp_name, n_args, interpret=False):
+    """Masked relinearization on component-major-resident operands.
+
+    Returns CM (linpoint [t, T, LANE], jac [z*t, ...], r0 [z, ...],
+    since_relin [1, ...] as float)."""
+    dt = x.dtype
+    t = d0 + d1
+    t_tiles = x.shape[1]
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    args = [x, z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    grid, in_specs, out_specs = _cm_grid_specs(args, out_shape)
+    kernel = functools.partial(_kernel_relin, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params.reshape(1, -1).astype(dt), *args)
+
+
+def _kernel_segsum(me_ref, ml_ref, idx_ref, out_ref, *, d, ncp, exact):
+    """Per-sublane one-hot MXU reduction: out[f, k] = sum_p comp_f[p] [id_p=k].
+
+    The accumulator output block is revisited by every grid step (index map
+    constant), so it lives in VMEM for the whole grid and is written to HBM
+    once.  `exact` uses 6-pass f32 MXU dots; otherwise a bf16 hi/lo split
+    (2 one-pass dots, ~2^-16 relative error — the one-hot operand is exact
+    in bf16 either way)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    acc = out_ref[...]
+    for s in range(SUB):
+        sub = jnp.concatenate([me_ref[:, s, :], ml_ref[:, s, :]], axis=0)
+        i_s = idx_ref[0, s : s + 1, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (ncp, LANE), 0) == i_s)
+        if exact:
+            acc = acc + jax.lax.dot_general(
+                sub, oh.astype(sub.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=acc.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            # hi/lo split with values exactly representable in bf16, passed
+            # as f32 (this Mosaic rejects bf16 lhs with f32 acc): DEFAULT
+            # precision rounds operands to bf16 — a no-op here — so the two
+            # one-pass dots sum to the f32 product up to ~2^-16 relative.
+            ohf = oh.astype(jnp.float32)
+            hi = sub.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = (sub - hi).astype(jnp.bfloat16).astype(jnp.float32)
+            dn = (((1,), (1,)), ((), ()))
+            acc = acc + jax.lax.dot_general(
+                hi, ohf, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = acc + jax.lax.dot_general(
+                lo, ohf, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "exact", "interpret"))
+def segsum_cm(me, ml, idx, *, n_seg, exact=False, interpret=False):
+    """Segment-sum CM message comps by variable id (the gathered-slot belief
+    reduction): me [d, T, LANE], ml [d*d, T, LANE], idx [1, T, LANE] int32 in
+    [0, n_seg).  Returns [d + d*d, n_seg] f32.  Padded rows must carry zero
+    messages (they then contribute nothing, whatever their idx)."""
+    d = me.shape[0]
+    f = d + ml.shape[0]
+    t_tiles = me.shape[1]
+    dt = me.dtype
+    if dt != jnp.float32:
+        exact = True  # the bf16 split only makes sense for f32 operands
+    ncp = ((n_seg + LANE - 1) // LANE) * LANE
+    grid = (t_tiles // SUB,)
+
+    def cm_spec(a):
+        return pl.BlockSpec((a.shape[0], SUB, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_segsum, d=d, ncp=ncp, exact=exact),
+        grid=grid,
+        in_specs=[cm_spec(me), cm_spec(ml), cm_spec(idx)],
+        out_specs=pl.BlockSpec((f, ncp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, ncp), dt),
+        interpret=interpret,
+    )(me, ml, idx)
+    return out[:, :n_seg]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("d0", "d1", "z", "prec_full", "huber", "interpret"),

@@ -8,12 +8,18 @@ initialization.  Tests must therefore import jax only after this conftest runs
 """
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("GBP_ON_TPU") == "1":
+    # On-chip lane: leave the platform alone (axon/TPU) and stay f32 — this
+    # is how `pytest tests/tpu -q` exercises the real device (tests/tpu/
+    # skips itself when the backend is CPU).
+    pass
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
