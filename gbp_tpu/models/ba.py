@@ -113,6 +113,95 @@ def simulate(
     )
 
 
+def simulate_corridor(
+    n_cams=32,
+    lmks_per_cam=40,
+    window=3,
+    step=1.0,
+    wall_dist=4.0,
+    pix_sigma=1.0,
+    cam_noise=(0.02, 0.05),
+    lmk_noise=0.2,
+    seed=0,
+    k=(500.0, 500.0, 320.0, 240.0),
+):
+    """Synthetic corridor/street BA scene with visibility LOCALITY.
+
+    Cameras move along a line looking at a landmark wall; each landmark is
+    only visible from cameras within +-`window` positions.  This is the
+    city-scale workload of the north star [BASELINE.json]: when partitioned
+    into contiguous keyframe blocks, only the landmarks in the window overlap
+    at block cuts are boundary variables — the regime the halo-sharded SPMD
+    path (parallel/halo.py) is designed for.  The arc scene (`simulate`) has
+    every landmark visible from most cameras and therefore no locality.
+
+    Returns the same dict shape as `simulate`.
+    """
+    rng = np.random.default_rng(seed)
+    k_arr = np.asarray(k)
+
+    # Cameras along +x, looking at the wall in +y.
+    cams = np.zeros((n_cams, 6))
+    fwd = np.array([0.0, 1.0, 0.0])
+    up0 = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up0)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    r_wc = np.stack([right, up, fwd], axis=1)
+    r = r_wc.T
+    for i in range(n_cams):
+        c = np.array([i * step, 0.0, 0.0])
+        cams[i, :3] = np.asarray(so3_log(jnp.asarray(r)))
+        cams[i, 3:] = -r @ c
+
+    # Landmarks on the wall, spread along the corridor.
+    n_lmks = n_cams * lmks_per_cam
+    lx = rng.uniform(-step, (n_cams - 1 + 1.0) * step, n_lmks)
+    lmks = np.stack(
+        [lx, wall_dist + 0.5 * rng.standard_normal(n_lmks),
+         0.8 * rng.standard_normal(n_lmks)], axis=1)
+
+    obs, cam_ids, lmk_ids = [], [], []
+    for i in range(n_cams):
+        xi = i * step
+        near = np.flatnonzero(np.abs(lmks[:, 0] - xi) <= window * step)
+        xc = lmks[near] @ r.T + cams[i, 3:]
+        uv = np.stack(
+            [k_arr[0] * xc[:, 0] / xc[:, 2] + k_arr[2],
+             k_arr[1] * xc[:, 1] / xc[:, 2] + k_arr[3]], axis=1)
+        vis = (
+            (xc[:, 2] > 0.5)
+            & (uv[:, 0] > 0) & (uv[:, 0] < 2 * k_arr[2])
+            & (uv[:, 1] > 0) & (uv[:, 1] < 2 * k_arr[3])
+        )
+        idx = near[vis]
+        obs.append(uv[vis] + pix_sigma * rng.standard_normal((idx.size, 2)))
+        cam_ids.append(np.full(idx.size, i))
+        lmk_ids.append(idx)
+    obs = np.concatenate(obs)
+    cam_ids = np.concatenate(cam_ids)
+    lmk_ids = np.concatenate(lmk_ids)
+
+    counts = np.bincount(lmk_ids, minlength=n_lmks)
+    keep = counts >= 2
+    remap = -np.ones(n_lmks, dtype=np.int64)
+    remap[keep] = np.arange(keep.sum())
+    sel = keep[lmk_ids]
+    obs, cam_ids, lmk_ids = obs[sel], cam_ids[sel], remap[lmk_ids[sel]]
+    lmks = lmks[keep]
+
+    cam_init = cams + np.concatenate(
+        [cam_noise[0] * rng.standard_normal((n_cams, 3)),
+         cam_noise[1] * rng.standard_normal((n_cams, 3))], axis=1)
+    cam_init[0] = cams[0]
+    lmk_init = lmks + lmk_noise * rng.standard_normal(lmks.shape)
+
+    return dict(
+        cam_truth=cams, lmk_truth=lmks, cam_init=cam_init, lmk_init=lmk_init,
+        obs=obs, cam_ids=cam_ids, lmk_ids=lmk_ids, k=k_arr, pix_sigma=pix_sigma,
+    )
+
+
 def build(
     sim: dict,
     pix_sigma=None,
