@@ -95,3 +95,116 @@ def test_full_sfm_pipeline_from_pixels():
     are = float(ba.avg_reprojection_error(graph, state, k=k))
     # Sub-pixel reprojection error from pixels alone.
     assert are < 1.0, are
+
+
+def _centers(cams):
+    from gbp_tpu.utils.lie import so3_exp
+
+    r = np.asarray(so3_exp(jnp.asarray(cams[:, :3])))
+    return -np.einsum("nij,nj->ni", r.transpose(0, 2, 1), cams[:, 3:])
+
+
+def test_essential_two_view_recovers_relative_pose():
+    from gbp_tpu.frontend import init_pose
+    from gbp_tpu.utils.lie import so3_exp
+
+    sim = ba.simulate(n_cams=2, n_lmks=60, pix_sigma=0.0, seed=4, fov_frac=0.1)
+    # correspondences: landmarks seen by both cameras
+    common = np.intersect1d(sim["lmk_ids"][sim["cam_ids"] == 0],
+                            sim["lmk_ids"][sim["cam_ids"] == 1])
+    x = {}
+    for c in (0, 1):
+        sel = sim["cam_ids"] == c
+        ids = dict(zip(sim["lmk_ids"][sel], np.flatnonzero(sel)))
+        o = sim["obs"][[ids[t] for t in common]]
+        k = sim["k"]
+        x[c] = np.stack([(o[:, 0] - k[2]) / k[0], (o[:, 1] - k[3]) / k[1]], 1)
+    e = init_pose.essential_8pt(x[0], x[1])
+    r, t, pts, front = init_pose.decompose_essential(e, x[0], x[1])
+    assert front.mean() > 0.95
+    # true relative pose (cam0 -> cam1)
+    r0 = np.asarray(so3_exp(jnp.asarray(sim["cam_truth"][0, :3])))
+    r1 = np.asarray(so3_exp(jnp.asarray(sim["cam_truth"][1, :3])))
+    r_rel = r1 @ r0.T
+    t_rel = sim["cam_truth"][1, 3:] - r_rel @ sim["cam_truth"][0, 3:]
+    np.testing.assert_allclose(r, r_rel, atol=1e-5)
+    cos = np.dot(t / np.linalg.norm(t), t_rel / np.linalg.norm(t_rel))
+    assert cos > 1 - 1e-8, cos  # direction only; scale is unobservable
+
+
+def test_pnp_dlt_recovers_pose():
+    from gbp_tpu.frontend import init_pose
+    from gbp_tpu.utils.lie import so3_exp
+
+    rng = np.random.default_rng(5)
+    pts = rng.standard_normal((40, 3)) * [2.0, 2.0, 1.0] + [0, 0, 6.0]
+    w = np.array([0.1, -0.2, 0.15])
+    r = np.asarray(so3_exp(jnp.asarray(w)))
+    t = np.array([0.3, -0.1, 0.5])
+    xc = pts @ r.T + t
+    xn = xc[:, :2] / xc[:, 2:]
+    got = init_pose.pnp_dlt(xn, pts)
+    assert got is not None
+    np.testing.assert_allclose(got[0], r, atol=1e-8)
+    np.testing.assert_allclose(got[1], t, atol=1e-8)
+
+
+def test_initialize_poses_from_tracks_only():
+    """Bootstrap every camera + landmark from 2D tracks (no oracle poses),
+    then refine with GBP BA: sub-pixel ARE and sub-1% aligned pose error."""
+    from gbp_tpu.frontend import init_pose
+
+    sim = ba.simulate(n_cams=6, n_lmks=80, pix_sigma=0.3, seed=1, fov_frac=0.25)
+    cams, lmks, cam_ok, lmk_ok = init_pose.initialize_poses(
+        sim["k"], sim["cam_ids"], sim["lmk_ids"], sim["obs"], 6)
+    assert cam_ok.all() and lmk_ok.mean() > 0.9
+
+    # keep observations of resolved landmarks; remap densely
+    sel = lmk_ok[sim["lmk_ids"]]
+    remap = -np.ones(lmk_ok.size, dtype=np.int64)
+    remap[lmk_ok] = np.arange(int(lmk_ok.sum()))
+    boot = dict(cam_init=cams, lmk_init=lmks[lmk_ok],
+                obs=sim["obs"][sel], cam_ids=sim["cam_ids"][sel],
+                lmk_ids=remap[sim["lmk_ids"][sel]], k=sim["k"], pix_sigma=1.0)
+    graph, means = ba.build(boot, dtype=jnp.float64)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+    state = run(graph, init_state(graph, means), cfg, 60)
+    are = float(ba.avg_reprojection_error(graph, state, k=sim["k"]))
+    assert are < 1.0, are
+
+    got = np.asarray(state.v[0].mean)
+    s, r, t = ba.align_sim3(_centers(got), _centers(sim["cam_truth"]))
+    err = np.linalg.norm(
+        (s * _centers(got) @ r.T + t) - _centers(sim["cam_truth"]), axis=1)
+    assert err.max() < 0.1, err  # scene scale ~10
+
+
+def test_full_sfm_from_pixels_without_oracle_poses():
+    """The complete north-star path: rendered pixels -> tracks -> pose
+    bootstrap (essential + PnP) -> GBP BA.  No ground-truth pose is used
+    anywhere downstream of rendering."""
+    from gbp_tpu.frontend import init_pose
+
+    shape = (240, 320)
+    k = np.array([260.0, 260.0, shape[1] / 2, shape[0] / 2])
+    sim = ba.simulate(n_cams=6, n_lmks=120, seed=3, fov_frac=0.25, k=tuple(k))
+    frames = pipeline.render_scene(sim["cam_truth"], sim["lmk_truth"], k,
+                                   shape=shape, seed=3)
+    cam_ids, lmk_ids, obs = pipeline.build_tracks(
+        list(np.asarray(frames)), max_corners=256, min_score=0.9, ratio=0.85,
+        min_track_len=3, max_disp=25.0,
+    )
+    cams, lmks, cam_ok, lmk_ok = init_pose.initialize_poses(
+        k, cam_ids, lmk_ids, obs, 6)
+    assert cam_ok.all(), cam_ok
+    sel = lmk_ok[lmk_ids]
+    remap = -np.ones(lmk_ok.size, dtype=np.int64)
+    remap[lmk_ok] = np.arange(int(lmk_ok.sum()))
+    boot = dict(cam_init=cams, lmk_init=lmks[lmk_ok], obs=obs[sel],
+                cam_ids=cam_ids[sel], lmk_ids=remap[lmk_ids[sel]],
+                k=k, pix_sigma=1.0)
+    graph, means = ba.build(boot, huber=2.0, dtype=jnp.float64)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+    state = run(graph, init_state(graph, means), cfg, 60)
+    are = float(ba.avg_reprojection_error(graph, state, k=k))
+    assert are < 1.5, are
