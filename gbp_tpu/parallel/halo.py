@@ -609,13 +609,12 @@ def _sweep_halo(hg: HaloGraph, state: HaloState, cfg: GBPConfig,
             fs = sweep_mod._compute_messages(fb, fs, beliefs, cfg, act)
         new_f.append(fs)
 
-    # Belief stage: local partial sums + the two boundary all_gathers.
+    # Belief stage: local partial sums + the two boundary collectives.
     new_v, new_ghost = [], []
     for vbi, vb in enumerate(hg.vblocks):
         c = hg.comm[vbi]
         d = vb.prior_eta.shape[-1]
-        no, ng = c.n_own_max, c.n_ghost_max
-        n_loc = no + max(ng, 1)
+        n_loc = c.n_own_max + max(c.n_ghost_max, 1)
         packed = jnp.zeros((n_loc, d + d * d), vb.prior_eta.dtype)
         for fi, fb in enumerate(hg.fblocks):
             for k, tvb in enumerate(fb.vblocks):
@@ -624,57 +623,71 @@ def _sweep_halo(hg: HaloGraph, state: HaloState, cfg: GBPConfig,
                 packed = packed + jax.ops.segment_sum(
                     sweep_mod._pack_msgs(new_f[fi], k), fb.adj[k],
                     num_segments=n_loc)
-        own_part = packed[:no]
-        n_dev = jax.lax.axis_size(axis)
-        if ng > 0:
-            # ghost partials -> owners (O(boundary) collective #1)
-            gbuf = packed[no : no + ng]
-            if c.mode == "permute":
-                recvs = []
-                for i, off in enumerate(c.offsets_out):
-                    buf = jnp.where(c.send_mask[i][:, None],
-                                    gbuf[c.send_idx[i]], 0.0)
-                    perm = [(p, (p + off) % n_dev) for p in range(n_dev)]
-                    recvs.append(jax.lax.ppermute(buf, axis, perm))
-                contrib = jnp.concatenate(recvs, axis=0)
-                # padded entries target slot `no` and fall off the end
-                own_part = own_part + jax.ops.segment_sum(
-                    contrib, c.cat_tgt, num_segments=no + 1)[:no]
-            else:
-                gathered = jax.lax.all_gather(gbuf, axis)
-                flat = gathered.reshape(-1, d + d * d)
-                contrib = jnp.where(c.recv_mask[:, None], flat[c.recv_src], 0.0)
-                own_part = own_part + jax.ops.segment_sum(
-                    contrib, c.recv_tgt, num_segments=no)
-        eta = vb.prior_eta + own_part[:, :d]
-        lam = vb.prior_lam + own_part[:, d:].reshape(no, d, d)
-        mean = scaled_sym_solve(lam, eta)
-        new_v.append(VariableState(eta=eta, lam=lam, mean=mean))
-        if ng > 0:
-            # boundary beliefs -> ghost holders (O(boundary) collective #2)
-            pk = jnp.concatenate([eta, lam.reshape(no, -1), mean], axis=1)
-            if c.mode == "permute":
-                recvs = []
-                for i, off in enumerate(c.offsets_in):
-                    buf = pk[c.bsend_idx[i]]  # [t_e, 2d+d^2]
-                    perm = [(p, (p + off) % n_dev) for p in range(n_dev)]
-                    recvs.append(jax.lax.ppermute(buf, axis, perm))
-                got = jnp.concatenate(recvs, axis=0)[c.perm_ghost_src]
-            else:
-                exp = pk[c.bnd_idx]  # [b_max, 2d+d^2]
-                allb = jax.lax.all_gather(exp, axis).reshape(-1, 2 * d + d * d)
-                got = allb[c.ghost_src]
-            idrow = jnp.concatenate(
-                [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
-            ).astype(pk.dtype)
-            got = jnp.where(c.ghost_mask[:, None], got, idrow[None, :])
-            new_ghost.append(VariableState(
-                eta=got[:, :d],
-                lam=got[:, d : d + d * d].reshape(ng, d, d),
-                mean=got[:, -d:]))
-        else:
-            new_ghost.append(state.ghost[vbi])
+        ov, gv = exchange_and_update(vb, c, packed, state.ghost[vbi], axis)
+        new_v.append(ov)
+        new_ghost.append(gv)
     return HaloState(v=tuple(new_v), ghost=tuple(new_ghost), f=tuple(new_f))
+
+
+def exchange_and_update(vb, c: HaloComm, packed: jnp.ndarray, ghost_prev,
+                        axis: str):
+    """The halo exchange + owner belief update for one variable block.
+
+    packed: [n_own_max + max(ng, 1), d + d^2] local partial message sums
+    (rows beyond n_own_max are the ghost partials).  Runs inside shard_map.
+    Returns (owned VariableState, ghost VariableState)."""
+    d = vb.prior_eta.shape[-1]
+    no, ng = c.n_own_max, c.n_ghost_max
+    own_part = packed[:no]
+    n_dev = jax.lax.axis_size(axis)
+    if ng > 0:
+        # ghost partials -> owners (O(boundary) collective #1)
+        gbuf = packed[no : no + ng]
+        if c.mode == "permute":
+            recvs = []
+            for i, off in enumerate(c.offsets_out):
+                buf = jnp.where(c.send_mask[i][:, None],
+                                gbuf[c.send_idx[i]], 0.0)
+                perm = [(p, (p + off) % n_dev) for p in range(n_dev)]
+                recvs.append(jax.lax.ppermute(buf, axis, perm))
+            contrib = jnp.concatenate(recvs, axis=0)
+            # padded entries target slot `no` and fall off the end
+            own_part = own_part + jax.ops.segment_sum(
+                contrib, c.cat_tgt, num_segments=no + 1)[:no]
+        else:
+            gathered = jax.lax.all_gather(gbuf, axis)
+            flat = gathered.reshape(-1, d + d * d)
+            contrib = jnp.where(c.recv_mask[:, None], flat[c.recv_src], 0.0)
+            own_part = own_part + jax.ops.segment_sum(
+                contrib, c.recv_tgt, num_segments=no)
+    eta = vb.prior_eta + own_part[:, :d]
+    lam = vb.prior_lam + own_part[:, d:].reshape(no, d, d)
+    mean = scaled_sym_solve(lam, eta)
+    owned = VariableState(eta=eta, lam=lam, mean=mean)
+    if ng == 0:
+        return owned, ghost_prev
+    # boundary beliefs -> ghost holders (O(boundary) collective #2)
+    pk = jnp.concatenate([eta, lam.reshape(no, -1), mean], axis=1)
+    if c.mode == "permute":
+        recvs = []
+        for i, off in enumerate(c.offsets_in):
+            buf = pk[c.bsend_idx[i]]  # [t_e, 2d+d^2]
+            perm = [(p, (p + off) % n_dev) for p in range(n_dev)]
+            recvs.append(jax.lax.ppermute(buf, axis, perm))
+        got = jnp.concatenate(recvs, axis=0)[c.perm_ghost_src]
+    else:
+        exp = pk[c.bnd_idx]  # [b_max, 2d+d^2]
+        allb = jax.lax.all_gather(exp, axis).reshape(-1, 2 * d + d * d)
+        got = allb[c.ghost_src]
+    idrow = jnp.concatenate(
+        [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
+    ).astype(pk.dtype)
+    got = jnp.where(c.ghost_mask[:, None], got, idrow[None, :])
+    ghost = VariableState(
+        eta=got[:, :d],
+        lam=got[:, d : d + d * d].reshape(ng, d, d),
+        mean=got[:, -d:])
+    return owned, ghost
 
 
 def _specs(hp: HaloProblem, state: HaloState, axis: str):

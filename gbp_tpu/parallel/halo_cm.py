@@ -1,0 +1,365 @@
+"""Component-major fast path under halo partitioning.
+
+VERDICT r1 item 5: the round-1 multi-chip paths dropped the ELL layout that
+the single-chip sweep's speed comes from, so per-chip throughput under
+partitioning was far below the single-chip rate.  This module gives each
+chip the SAME resident component-major sweep as core/sweep_cm.py — per-chip
+ELL grouping (rows grouped by the chip-local ELL-slot variable, uniform
+degree), factor state living in kernel layout [F, T, LANE] across sweeps,
+the fused Pallas relinearize/message kernels, reshape-sum + one-hot-MXU
+belief reductions — and splices the halo exchange (parallel/halo.py) into
+the belief update: the ELL reshape-sum naturally produces partial sums for
+the chip's whole local universe (owned + ghosts), which is exactly what the
+exchange consumes.
+
+Eligibility mirrors sweep_cm.prepare (single 2-slot factor block with a
+component-form measurement model and diagonal precision, distinct variable
+blocks); ineligible graphs stay on the generic halo path.
+"""
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gbp_tpu.core import sweep as sweep_mod
+from gbp_tpu.core.sweep import GBPConfig, VariableState, f32_exact
+from gbp_tpu.core.sweep_cm import CMFactorState, _rm2cm
+from gbp_tpu.ops.messages_pallas import (
+    LANE,
+    TILE,
+    fused_messages_cm,
+    fused_relin_cm,
+    segsum_cm,
+)
+from gbp_tpu.parallel import halo as halo_mod
+
+
+class HaloCMGraph(flax.struct.PyTreeNode):
+    """Static per-chip CM factor data, stacked [P, ...]; comm/priors reused
+    from the generic halo partition."""
+
+    vblocks: tuple  # owned priors per vblock [P, n_own_max, ...]
+    comm: tuple  # HaloComm per vblock
+    z: jnp.ndarray  # [P, zdim, T, LANE]
+    prec: jnp.ndarray  # [P, zdim, T, LANE]
+    args: jnp.ndarray | None  # [P, n_args, T, LANE]
+    act: jnp.ndarray  # [P, 1, T, LANE]
+    gidx_cm: jnp.ndarray  # [P, 1, T, LANE] int32: gathered-slot LOCAL ids
+    gidx_rm: jnp.ndarray  # [P, mp] int32
+    mp: int = flax.struct.field(pytree_node=False, default=0)
+    nv: int = flax.struct.field(pytree_node=False, default=0)
+    deg: int = flax.struct.field(pytree_node=False, default=0)
+    e: int = flax.struct.field(pytree_node=False, default=0)  # ELL slot
+    vb_e: int = flax.struct.field(pytree_node=False, default=0)
+    vb_g: int = flax.struct.field(pytree_node=False, default=0)
+    dofs: tuple = flax.struct.field(pytree_node=False, default=())
+    zdim: int = flax.struct.field(pytree_node=False, default=0)
+    comp_name: str = flax.struct.field(pytree_node=False, default="")
+    n_args: int = flax.struct.field(pytree_node=False, default=0)
+    huber: float | None = flax.struct.field(pytree_node=False, default=None)
+    n_loc_e: int = flax.struct.field(pytree_node=False, default=0)
+    n_loc_g: int = flax.struct.field(pytree_node=False, default=0)
+    segsum_exact: bool = flax.struct.field(pytree_node=False, default=True)
+
+
+class HaloCMState(flax.struct.PyTreeNode):
+    v: tuple  # owned VariableState per vblock [P, n_own_max, ...]
+    ghost: tuple  # ghost VariableState per vblock [P, n_ghost_max, ...]
+    f: CMFactorState  # leaves [P, F, T, LANE]
+
+
+def prepare(hp: halo_mod.HaloProblem,
+            segsum_exact: bool = True):
+    """Build the per-chip ELL/CM layout for a generic HaloProblem, or None
+    if the graph is ineligible (falls back to the generic halo sweep)."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    g = hp.src_graph
+    if len(g.fblocks) != 1:
+        return None
+    fb = g.fblocks[0]
+    if (
+        len(fb.dofs) != 2
+        or fb.vblocks[0] == fb.vblocks[1]
+        or fb.ftype.residual_fn is not None
+        or fb.ftype.name not in COMP_FACTORS
+        or fb.prec.ndim != 2
+    ):
+        return None
+    P_ = hp.n_chips
+    hfb = hp.hgraph.fblocks[0]
+    m_loc = hfb.z.shape[1]
+    # ELL slot: group by the larger variable block so the remaining gather
+    # reads the small table (same heuristic as GraphBuilder._ell_reorder).
+    counts = [g.vblocks[v].count for v in fb.vblocks]
+    e = 0 if counts[0] >= counts[1] else 1
+    gs = 1 - e
+    vb_e, vb_g = fb.vblocks[e], fb.vblocks[gs]
+    c_e = hp.hgraph.comm[vb_e]
+    c_g = hp.hgraph.comm[vb_g]
+    n_loc_e = c_e.n_own_max + max(c_e.n_ghost_max, 1)
+    n_loc_g = c_g.n_own_max + max(c_g.n_ghost_max, 1)
+
+    adj_e = np.asarray(hfb.adj[e])  # [P, m_loc] local ids
+    adj_g = np.asarray(hfb.adj[gs])
+    valid = np.asarray(hfb.valid)  # [P, m_loc]
+    deg = 1
+    for c in range(P_):
+        ids = adj_e[c][valid[c]]
+        if ids.size:
+            deg = max(deg, int(np.bincount(ids).max()))
+    # pad the ELL universe so rows = nv * deg is TILE-aligned
+    nv = n_loc_e
+    while (nv * deg) % TILE:
+        nv += 1
+    mp = nv * deg
+    if mp > 6 * max(int(valid.sum(1).max()), 1) and mp - m_loc > 64 * TILE:
+        return None
+
+    # Per-chip reorder: dest row = local_ell_id * deg + rank; clone padding.
+    src = np.zeros((P_, mp), dtype=np.int64)  # into [m_loc] local rows
+    act = np.zeros((P_, mp), dtype=np.float64)
+    for c in range(P_):
+        rows = np.flatnonzero(valid[c])
+        ids = adj_e[c][rows]
+        order = np.argsort(ids, kind="stable")
+        rows = rows[order]
+        ids = ids[order]
+        degc = np.bincount(ids, minlength=nv)
+        starts = np.concatenate([[0], np.cumsum(degc)])
+        rank = np.arange(rows.size) - starts[ids]
+        dest = ids * deg + rank
+        first = np.zeros(nv, dtype=np.int64)
+        has = degc > 0
+        first[has] = rows[starts[:-1][has]]
+        src[c] = np.repeat(first, deg)
+        src[c, dest] = rows
+        act[c, dest] = 1.0
+
+    dt = hfb.z.dtype
+    z_np = np.asarray(hfb.z)
+    prec_np = np.asarray(hfb.prec)
+    args_np = None if hfb.args is None else np.asarray(hfb.args)
+    n_args = COMP_FACTORS[fb.ftype.name][1]
+
+    def stack_cm(a_np, fill=None):
+        # a_np [P, m_loc, F] -> CM [P, F, T, LANE] via per-chip reorder
+        out = a_np[np.arange(P_)[:, None], src]  # [P, mp, F]
+        return jnp.stack([_rm2cm(jnp.asarray(out[c], dtype=dt))
+                          for c in range(P_)])
+
+    gidx = adj_g[np.arange(P_)[:, None], src].astype(np.int32)  # [P, mp]
+    hcm = HaloCMGraph(
+        vblocks=hp.hgraph.vblocks,
+        comm=hp.hgraph.comm,
+        z=stack_cm(z_np),
+        prec=stack_cm(prec_np),
+        args=None if (args_np is None or n_args == 0)
+        else stack_cm(args_np.reshape(P_, m_loc, -1)),
+        act=jnp.stack([_rm2cm(jnp.asarray(act[c : c + 1].T, dtype=dt))
+                       for c in range(P_)]),
+        gidx_cm=jnp.stack([
+            _rm2cm(jnp.asarray(gidx[c][:, None])) for c in range(P_)
+        ]).astype(jnp.int32),
+        gidx_rm=jnp.asarray(gidx),
+        mp=mp, nv=nv, deg=deg, e=e, vb_e=vb_e, vb_g=vb_g,
+        dofs=fb.dofs, zdim=fb.z.shape[-1],
+        comp_name=fb.ftype.name, n_args=n_args, huber=fb.huber,
+        n_loc_e=n_loc_e, n_loc_g=n_loc_g, segsum_exact=segsum_exact,
+    )
+    # global ids per reordered row (host-side, for init_state)
+    rows_global = hp.fb_src_rows[0][np.arange(P_)[:, None], src]
+    rows_global = np.maximum(rows_global, 0)
+    return hcm, rows_global
+
+
+def init_state(hp: halo_mod.HaloProblem, hcm: HaloCMGraph,
+               rows_global: np.ndarray, means: tuple) -> HaloCMState:
+    """Owned/ghost beliefs = priors; CM factor state linearized at means."""
+    base = halo_mod.init_state(hp, means)  # reuse the variable-state builder
+    g = hp.src_graph
+    fb = g.fblocks[0]
+    P_ = hp.n_chips
+    mp = hcm.mp
+    x = np.concatenate(
+        [np.asarray(means[vb])[np.asarray(fb.adj[k])[rows_global]]
+         for k, vb in enumerate(fb.vblocks)], axis=-1)  # [P, mp, t]
+    t = x.shape[-1]
+    dt = hcm.z.dtype
+    xj = jnp.asarray(x.reshape(P_ * mp, t), dtype=dt)
+    flat_fb = fb.replace(
+        z=jnp.reshape(jnp.swapaxes(hcm.z.reshape(P_, hcm.zdim, mp), 1, 2),
+                      (P_ * mp, hcm.zdim)),
+        prec=jnp.reshape(jnp.swapaxes(hcm.prec.reshape(P_, hcm.zdim, mp), 1, 2),
+                         (P_ * mp, hcm.zdim)),
+        args=None if hcm.args is None else jnp.reshape(
+            jnp.swapaxes(hcm.args.reshape(P_, hcm.args.shape[1], mp), 1, 2),
+            (P_ * mp, hcm.args.shape[1])),
+    )
+    jac, r0 = sweep_mod.linearize_block(flat_fb, xj)
+    zd = hcm.zdim
+    to_cm = lambda a: jnp.stack([
+        _rm2cm(a.reshape(P_, mp, -1)[c]) for c in range(P_)
+    ])
+    t_tiles = mp // LANE
+    zeros = lambda f: jnp.zeros((P_, f, t_tiles, LANE), dt)
+    d0, d1 = hcm.dofs
+    fstate = CMFactorState(
+        lp=to_cm(xj),
+        jac=to_cm(jac.reshape(P_ * mp, -1)),
+        r0=to_cm(r0),
+        srel=zeros(1),
+        msg_eta=(zeros(d0), zeros(d1)),
+        msg_lam=(zeros(d0 * d0), zeros(d1 * d1)),
+    )
+    return HaloCMState(v=base.v, ghost=base.ghost, f=fstate)
+
+
+def _pack_local(vs_own, vs_ghost, n_pad, d):
+    """[owned | ghost | identity pad] packed rows [n_pad, 2d + d^2]."""
+    pk = jnp.concatenate([
+        jnp.concatenate([vs_own.eta, vs_ghost.eta]),
+        jnp.concatenate([vs_own.lam, vs_ghost.lam]).reshape(-1, d * d),
+        jnp.concatenate([vs_own.mean, vs_ghost.mean]),
+    ], axis=1)
+    n = pk.shape[0]
+    if n_pad > n:
+        idrow = jnp.concatenate(
+            [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
+        ).astype(pk.dtype)
+        pk = jnp.concatenate([pk, jnp.tile(idrow[None], (n_pad - n, 1))])
+    return pk
+
+
+def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
+                   axis: str) -> HaloCMState:
+    """One synchronous sweep on a chip's shard (inside shard_map)."""
+    d_e, d_g = hcm.dofs[hcm.e], hcm.dofs[1 - hcm.e]
+    dt = state.f.r0.dtype
+    params = sweep_mod._kernel_params(cfg, dt)
+    interp = jax.default_backend() == "cpu"
+    t_tiles = hcm.mp // LANE
+
+    # Belief tables -> CM expansion.
+    pk_e = _pack_local(state.v[hcm.vb_e], state.ghost[hcm.vb_e], hcm.nv, d_e)
+    cm_e = jnp.broadcast_to(
+        jnp.swapaxes(pk_e, 0, 1)[:, :, None],
+        (pk_e.shape[1], hcm.nv, hcm.deg),
+    ).reshape(pk_e.shape[1], t_tiles, LANE)
+    pk_g = _pack_local(state.v[hcm.vb_g], state.ghost[hcm.vb_g],
+                       hcm.n_loc_g, d_g)
+    cm_g = _rm2cm(pk_g[hcm.gidx_rm])
+    d2e, d2g = d_e * d_e, d_g * d_g
+    be_e, bl_e, mean_e = cm_e[:d_e], cm_e[d_e : d_e + d2e], cm_e[d_e + d2e :]
+    be_g, bl_g, mean_g = cm_g[:d_g], cm_g[d_g : d_g + d2g], cm_g[d_g + d2g :]
+    by_slot = lambda a_e, a_g: (a_e, a_g) if hcm.e == 0 else (a_g, a_e)
+    be0, be1 = by_slot(be_e, be_g)
+    bl0, bl1 = by_slot(bl_e, bl_g)
+    mean0, mean1 = by_slot(mean_e, mean_g)
+    x_cm = jnp.concatenate([mean0, mean1], axis=0)
+    d0, d1 = hcm.dofs
+
+    fs = state.f
+    lp, jac, r0, srel = fused_relin_cm(
+        params, x_cm, hcm.z, hcm.args, fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
+        d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+        n_args=hcm.n_args, interpret=interp,
+    )
+    oe0, ol0, oe1, ol1 = fused_messages_cm(
+        params, jac, lp, r0, hcm.prec, srel, hcm.act,
+        be0, bl0, be1, bl1,
+        fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+        d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+        interpret=interp,
+    )
+    fs = CMFactorState(lp=lp, jac=jac, r0=r0, srel=srel,
+                       msg_eta=(oe0, oe1), msg_lam=(ol0, ol1))
+
+    # Partial sums over the local universes.
+    me_e, ml_e = fs.msg_eta[hcm.e], fs.msg_lam[hcm.e]
+    me_g, ml_g = fs.msg_eta[1 - hcm.e], fs.msg_lam[1 - hcm.e]
+    # ELL slot: free reshape-sum (clone rows carry zero messages).
+    sum_e = jnp.concatenate([
+        me_e.reshape(d_e, hcm.nv, hcm.deg).sum(-1),
+        ml_e.reshape(d2e, hcm.nv, hcm.deg).sum(-1),
+    ])[:, : hcm.n_loc_e]
+    packed_e = jnp.swapaxes(sum_e, 0, 1)
+    # Gathered slot: one-hot MXU segment-sum straight off the CM messages.
+    sum_g = segsum_cm(me_g, ml_g, hcm.gidx_cm, n_seg=hcm.n_loc_g,
+                      exact=hcm.segsum_exact, interpret=interp)
+    packed_g = jnp.swapaxes(sum_g, 0, 1)
+
+    # Halo exchange + owner updates (shared with the generic path).
+    new_v = list(state.v)
+    new_ghost = list(state.ghost)
+    ov, gv = halo_mod.exchange_and_update(
+        hcm.vblocks[hcm.vb_e], hcm.comm[hcm.vb_e], packed_e,
+        state.ghost[hcm.vb_e], axis)
+    new_v[hcm.vb_e], new_ghost[hcm.vb_e] = ov, gv
+    ov, gv = halo_mod.exchange_and_update(
+        hcm.vblocks[hcm.vb_g], hcm.comm[hcm.vb_g], packed_g,
+        state.ghost[hcm.vb_g], axis)
+    new_v[hcm.vb_g], new_ghost[hcm.vb_g] = ov, gv
+    return HaloCMState(v=tuple(new_v), ghost=tuple(new_ghost), f=fs)
+
+
+def _specs(hcm, state, axis):
+    def sh(a):
+        return P(axis, *([None] * (a.ndim - 1)))
+
+    return (jax.tree_util.tree_map(sh, hcm),
+            jax.tree_util.tree_map(sh, state))
+
+
+def make_run(mesh: Mesh, hcm: HaloCMGraph, state: HaloCMState,
+             axis: str = "graph"):
+    gspec, sspec = _specs(hcm, state, axis)
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def run_halo_cm(hcm, state, cfg, n_iters):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(gspec, sspec, P()),
+            out_specs=sspec,
+            check_vma=False,
+        )
+        @f32_exact
+        def body(hcm, state, cfg):
+            hg = jax.tree_util.tree_map(lambda a: a[0], hcm)
+            st = jax.tree_util.tree_map(lambda a: a[0], state)
+
+            def one(_, s):
+                return _sweep_cm_halo(hg, s, cfg, axis)
+
+            out = jax.lax.fori_loop(0, n_iters, one, st)
+            return jax.tree_util.tree_map(lambda a: a[None], out)
+
+        return body(hcm, state, cfg)
+
+    return run_halo_cm
+
+
+def distribute(graph, means, mesh: Mesh, anchor_slot: int = 0,
+               comm_mode: str = "auto", segsum_exact: bool = True):
+    """Partition + CM-prepare + place; returns (hp, hcm, state, run_fn) or
+    None when the graph is CM-ineligible."""
+    axis = mesh.axis_names[0]
+    hp = halo_mod.partition(graph, mesh.devices.size, anchor_slot, comm_mode)
+    prepped = prepare(hp, segsum_exact=segsum_exact)
+    if prepped is None:
+        return None
+    hcm, rows_global = prepped
+    state = init_state(hp, hcm, rows_global, means)
+    gspec, sspec = _specs(hcm, state, axis)
+
+    def put(x, s):
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    hcm = jax.tree_util.tree_map(put, hcm, gspec)
+    state = jax.tree_util.tree_map(put, state, sspec)
+    return hp, hcm, state, make_run(mesh, hcm, state, axis)
