@@ -86,7 +86,11 @@ class CMGraph(flax.struct.PyTreeNode):
     mp: int = flax.struct.field(pytree_node=False, default=0)
     nv: int = flax.struct.field(pytree_node=False, default=0)  # virtual ELL vars
     # 'rows': gather packed [n, F] rows then transpose; 'take1': gather along
-    # the trailing axis of the pre-transposed [F, n] table.
+    # the trailing axis of the pre-transposed [F, n] table; 'table': no HBM
+    # expansion at all — the packed table goes into kernel VMEM and rows are
+    # reconstructed in-kernel by one-hot MXU dots (ops/messages_pallas.py
+    # `_table_rows`).  'table' needs the table to fit VMEM; prepare() falls
+    # back to 'rows' otherwise.
     gather_mode: str = flax.struct.field(pytree_node=False, default="rows")
     segsum_exact: bool = flax.struct.field(pytree_node=False, default=False)
 
@@ -109,9 +113,13 @@ def _cm2rm(a: jnp.ndarray, m: int) -> jnp.ndarray:
     return jnp.swapaxes(a.reshape(a.shape[0], -1), 0, 1)[:m]
 
 
-def prepare(graph: Graph, gather_mode: str = "rows",
+def prepare(graph: Graph, gather_mode: str = "auto",
             segsum_exact: bool = False) -> CMGraph | None:
-    """Build the CM static data for `graph`, or None if ineligible."""
+    """Build the CM static data for `graph`, or None if ineligible.
+
+    gather_mode "auto" picks 'table' (in-kernel VMEM belief table, the fast
+    path — measured ~1.8x over 'rows' at 470k factors) when the packed
+    gathered-slot table fits VMEM, else 'rows'."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
     if len(graph.fblocks) != 1:
@@ -137,6 +145,14 @@ def prepare(graph: Graph, gather_mode: str = "rows",
     nv = mp // deg
     pad = mp - m
     g = 1 - fb.ell_slot
+    if gather_mode in ("table", "auto"):
+        # In-kernel table reconstruction: the whole packed gathered-slot
+        # belief table must fit comfortably in VMEM next to the factor tiles.
+        d_g = fb.dofs[g]
+        n_g = graph.vblocks[fb.vblocks[g]].count
+        ncp = ((n_g + LANE - 1) // LANE) * LANE
+        fits = (2 * d_g + d_g * d_g) * ncp * 4 <= 4 * 1024 * 1024
+        gather_mode = "table" if fits else "rows"
 
     dt = fb.z.dtype
     act = jnp.ones((m,), dt) if fb.valid is None else fb.valid.astype(dt)
@@ -256,26 +272,57 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig) -> CMState:
     vs_e = state.v[fb.vblocks[e]]
     vs_g = state.v[fb.vblocks[g]]
     be_e, bl_e, mean_e = _expand_ell(cmg, vs_e)
-    be_g, bl_g, mean_g = _expand_gather(cmg, vs_g)
-    by_slot = lambda a_e, a_g: (a_e, a_g) if e == 0 else (a_g, a_e)
-    be0, be1 = by_slot(be_e, be_g)
-    bl0, bl1 = by_slot(bl_e, bl_g)
-    mean0, mean1 = by_slot(mean_e, mean_g)
-    x_cm = jnp.concatenate([mean0, mean1], axis=0)
-
     fs = state.f
-    lp, jac, r0, srel = fused_relin_cm(
-        params, x_cm, cmg.z, cmg.args, fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
-        d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
-        n_args=COMP_FACTORS[fb.ftype.name][1], interpret=interp,
-    )
-    oe0, ol0, oe1, ol1 = fused_messages_cm(
-        params, jac, lp, r0, cmg.prec, srel, cmg.act,
-        be0, bl0, be1, bl1,
-        fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-        d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
-        interpret=interp,
-    )
+    n_args = COMP_FACTORS[fb.ftype.name][1]
+    if cmg.gather_mode == "table":
+        # Gathered-slot beliefs never touch HBM in expanded form: the packed
+        # table goes to kernel VMEM, rows are one-hot-MXU-reconstructed.
+        from gbp_tpu.ops.messages_pallas import (
+            fused_messages_cm_tab,
+            fused_relin_cm_tab,
+        )
+
+        d_g = fb.dofs[g]
+        pk = _pack_beliefs(vs_g)  # [n, 2d + d^2]
+        ncp = ((pk.shape[0] + LANE - 1) // LANE) * LANE
+        tab = jnp.swapaxes(
+            jnp.pad(pk, ((0, ncp - pk.shape[0]), (0, 0))), 0, 1)
+        btab = tab[: d_g + d_g * d_g]
+        mtab = tab[d_g + d_g * d_g :]
+        lp, jac, r0, srel = fused_relin_cm_tab(
+            params, mean_e, mtab, cmg.gidx_cm, cmg.z, cmg.args,
+            fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
+            d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+            n_args=n_args, gslot=g, interpret=interp,
+        )
+        oe0, ol0, oe1, ol1 = fused_messages_cm_tab(
+            params, jac, lp, r0, cmg.prec, srel, cmg.act,
+            be_e, bl_e, btab, cmg.gidx_cm,
+            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+            d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+            gslot=g, interpret=interp,
+        )
+    else:
+        be_g, bl_g, mean_g = _expand_gather(cmg, vs_g)
+        by_slot = lambda a_e, a_g: (a_e, a_g) if e == 0 else (a_g, a_e)
+        be0, be1 = by_slot(be_e, be_g)
+        bl0, bl1 = by_slot(bl_e, bl_g)
+        mean0, mean1 = by_slot(mean_e, mean_g)
+        x_cm = jnp.concatenate([mean0, mean1], axis=0)
+
+        lp, jac, r0, srel = fused_relin_cm(
+            params, x_cm, cmg.z, cmg.args, fs.lp, fs.jac, fs.r0, fs.srel,
+            cmg.act,
+            d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+            n_args=n_args, interpret=interp,
+        )
+        oe0, ol0, oe1, ol1 = fused_messages_cm(
+            params, jac, lp, r0, cmg.prec, srel, cmg.act,
+            be0, bl0, be1, bl1,
+            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+            d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+            interpret=interp,
+        )
     fs = CMFactorState(lp=lp, jac=jac, r0=r0, srel=srel,
                        msg_eta=(oe0, oe1), msg_lam=(ol0, ol1))
 

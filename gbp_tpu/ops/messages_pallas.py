@@ -44,6 +44,37 @@ def _comps(ref, n):
     return [ref[k] for k in range(n)]
 
 
+def _slot_beliefs(be, bl, d):
+    """Belief components for one slot: refs -> tile lists; lists pass through
+    (the table kernels reconstruct them from a VMEM table instead)."""
+    be_l = be if isinstance(be, list) else _comps(be, d)
+    bl_l = bl if isinstance(bl, list) else _comps(bl, d * d)
+    return be_l, bl_l
+
+
+def _table_rows(tab_ref, idx_ref, f):
+    """Per-factor rows of a small VMEM-resident table, one (SUB, LANE) factor
+    tile at a time: out[k][s, l] = tab[k, idx[s, l]].
+
+    Lowered as one one-hot MXU dot per sublane — (f, ncp) x (ncp, LANE) —
+    because Mosaic has no lane-dynamic gather.  HIGHEST precision keeps the
+    f32 table values exact (the one-hot operand is exact in any precision).
+    The table must be small enough for VMEM (caller gates on table bytes);
+    this removes the [f, m]-sized belief expansion from HBM entirely."""
+    tab = tab_ref[...]  # [f, ncp]
+    ncp = tab.shape[1]
+    cols = []
+    for s in range(SUB):
+        i_s = idx_ref[0, s : s + 1, :]  # [1, LANE]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (ncp, LANE), 0) == i_s)
+        cols.append(jax.lax.dot_general(
+            tab, oh.astype(tab.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=tab.dtype,
+            precision=jax.lax.Precision.HIGHEST))  # [f, LANE]
+    stacked = jnp.stack(cols, axis=1)  # [f, SUB, LANE]
+    return [stacked[k] for k in range(f)]
+
+
 def _mat(comps, r, c):
     """Row-major component list -> component matrix [r][c]."""
     return [[comps[i * c + j] for j in range(c)] for i in range(r)]
@@ -86,13 +117,16 @@ def _message_math(params_ref, jac, x0, r0, prec_ref, srel, act,
         inv_w = 1.0 / w
         sigma = cl.cscale(sigma, inv_w)
 
-    def slot(be_ref, bl_ref, me_ref, ml_ref, j_s, x0_s, d):
-        bl = _mat(_comps(bl_ref, d * d), d, d)
+    def slot(be, bl_flat, me_ref, ml_ref, j_s, x0_s, d):
+        """be: d belief-eta components; bl_flat: d*d belief-lam components
+        (lists of tiles — read from refs or reconstructed from a VMEM table
+        by the caller)."""
+        bl = _mat(bl_flat, d, d)
         ml = _mat(_comps(ml_ref, d * d), d, d)
         cav_lam = cl.csub(bl, ml)
         for i in range(d):
             cav_lam[i][i] = cav_lam[i][i] + floor * bl[i][i] + jitter
-        cav_eta = [b - m for b, m in zip(_comps(be_ref, d), _comps(me_ref, d))]
+        cav_eta = [b - m for b, m in zip(be, _comps(me_ref, d))]
         cav_cov = cl.cscaled_sym_inv(cav_lam)
         cav_mu = cl.cmv(cav_cov, cav_eta)
         jc = cl.cmm(j_s, cav_cov)  # [z][d]
@@ -100,8 +134,10 @@ def _message_math(params_ref, jac, x0, r0, prec_ref, srel, act,
         q = cl.cmv(j_s, cl.vsub(x0_s, cav_mu))
         return p, q, ml
 
-    p0, q0, ml0 = slot(be0_ref, bl0_ref, me0_ref, ml0_ref, j0, x0[:d0], d0)
-    p1, q1, ml1 = slot(be1_ref, bl1_ref, me1_ref, ml1_ref, j1, x0[d0:], d1)
+    be0, bl0 = _slot_beliefs(be0_ref, bl0_ref, d0)
+    be1, bl1 = _slot_beliefs(be1_ref, bl1_ref, d1)
+    p0, q0, ml0 = slot(be0, bl0, me0_ref, ml0_ref, j0, x0[:d0], d0)
+    p1, q1, ml1 = slot(be1, bl1, me1_ref, ml1_ref, j1, x0[d0:], d1)
 
     damp = jnp.where(srel >= num_undamped, eta_damping, 0.0)
     ldamp = jnp.where(srel >= num_undamped, lam_damping, 0.0)
@@ -145,6 +181,33 @@ def _kernel(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref, act_ref,
     )
 
 
+def _kernel_tab(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref,
+                act_ref, be_o_ref, bl_o_ref, tab_ref, idx_ref,
+                me0_ref, ml0_ref, me1_ref, ml1_ref,
+                oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                *, d0, d1, z, prec_full, huber, gslot):
+    """_kernel with slot `gslot`'s beliefs reconstructed in-kernel from a
+    VMEM table (tab [dg + dg^2, ncp], idx [1, SUB, LANE]) instead of arriving
+    as [F, m]-sized expanded operands from HBM."""
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    dg = d1 if gslot == 1 else d0
+    rows = _table_rows(tab_ref, idx_ref, dg + dg * dg)
+    be_g, bl_g = rows[:dg], rows[dg:]
+    if gslot == 1:
+        be0, bl0, be1, bl1 = be_o_ref, bl_o_ref, be_g, bl_g
+    else:
+        be0, bl0, be1, bl1 = be_g, bl_g, be_o_ref, bl_o_ref
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0, bl0, be1, bl1,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
 def _kernel_relin(params_ref, x_ref, z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
                   srel_ref, act_ref,
                   olp_ref, ojac_ref, or0_ref, osrel_ref,
@@ -157,13 +220,38 @@ def _kernel_relin(params_ref, x_ref, z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
     kernel: a single 17-in/8-out fused call was miscompiled inside fori_loop
     bodies (the last grid tiles of the later outputs were corrupted; the
     same kernel was correct when dispatched sweep-by-sweep)."""
+    _relin_math(params_ref, _comps(x_ref, d0 + d1), z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+def _kernel_relin_tab(params_ref, xo_ref, mtab_ref, idx_ref, z_ref, fargs_ref,
+                      lp_ref, jac_ref, r0_ref, srel_ref, act_ref,
+                      olp_ref, ojac_ref, or0_ref, osrel_ref,
+                      *, d0, d1, z, comp_name, n_args, gslot):
+    """_kernel_relin with slot `gslot`'s means reconstructed in-kernel from a
+    VMEM mean table (mtab [dg, ncp]); xo_ref carries only the other slot."""
+    dg = d1 if gslot == 1 else d0
+    do = d0 + d1 - dg
+    xo = _comps(xo_ref, do)
+    xg = _table_rows(mtab_ref, idx_ref, dg)
+    x = xo + xg if gslot == 1 else xg + xo
+    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+def _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
+                srel_ref, act_ref, olp_ref, ojac_ref, or0_ref, osrel_ref,
+                *, d0, d1, z, comp_name, n_args):
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
     t = d0 + d1
     beta = params_ref[0, 4]
     min_linear = params_ref[0, 5]
 
-    x = _comps(x_ref, t)  # current adjacent belief means
     lp = _comps(lp_ref, t)
     srel = srel_ref[0]
     act = act_ref[0] > 0.5
@@ -289,6 +377,101 @@ def fused_relin_cm(params, x, z_meas, fargs, linpoint, jac, r0, since_relin,
         kernel, grid=grid, out_shape=out_shape,
         in_specs=in_specs, out_specs=out_specs, interpret=interpret,
     )(params.reshape(1, -1).astype(dt), *args)
+
+
+def _cm_spec_of(a):
+    return pl.BlockSpec((a.shape[0], SUB, LANE), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _tab_spec_of(tab):
+    return pl.BlockSpec(tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot",
+                     "interpret"),
+)
+def fused_messages_cm_tab(params, jac, x0, r0, prec, since_relin, active,
+                          be_o, bl_o, btab, gidx, me0, ml0, me1, ml1,
+                          *, d0, d1, z, prec_full, huber, gslot,
+                          interpret=False):
+    """fused_messages_cm with slot `gslot`'s beliefs coming from the small
+    VMEM table `btab` [dg + dg^2, ncp] via `gidx` [1, T, LANE] — the
+    [F, m]-sized expanded belief operands for that slot never exist in HBM.
+
+    be_o / bl_o are the OTHER slot's expanded beliefs (usually the free
+    ELL broadcast)."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    grid = (t_tiles // SUB,)
+    cm_args = [jac, x0, r0, prec, since_relin, active, be_o, bl_o]
+    msg_args = [me0, ml0, me1, ml1]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args]
+        + [_tab_spec_of(btab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in msg_args]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(
+        _kernel_tab, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=None if huber is None else float(huber), gslot=gslot,
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params.reshape(1, -1).astype(dt), *cm_args, btab.astype(dt), gidx,
+      *msg_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot",
+                     "interpret"),
+)
+def fused_relin_cm_tab(params, x_other, mtab, gidx, z_meas, fargs, linpoint,
+                       jac, r0, since_relin, active,
+                       *, d0, d1, z, comp_name, n_args, gslot,
+                       interpret=False):
+    """fused_relin_cm with slot `gslot`'s means from the VMEM table `mtab`
+    [dg, ncp]; x_other carries only the other slot's means [d_other, T, LANE]."""
+    dt = x_other.dtype
+    t = d0 + d1
+    t_tiles = x_other.shape[1]
+    grid = (t_tiles // SUB,)
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    cm_args1 = [x_other]
+    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args1]
+        + [_tab_spec_of(mtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in cm_args2]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(_kernel_relin_tab, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args, gslot=gslot)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params.reshape(1, -1).astype(dt), x_other, mtab.astype(dt), gidx,
+      *cm_args2)
 
 
 def _kernel_segsum(me_ref, ml_ref, idx_ref, out_ref, *, d, ncp, exact):

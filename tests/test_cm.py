@@ -49,14 +49,16 @@ def test_cm_gather_modes_agree():
     (graph, means), _ = _ba_graph(n_cams=5, n_lmks=30, seed=2)
     cfg = GBPConfig(message_form="pallas")
     outs = []
-    for mode in ("rows", "take1"):
+    for mode in ("rows", "take1", "table"):
         cmg = sweep_cm.prepare(graph, gather_mode=mode, segsum_exact=True)
+        assert cmg.gather_mode == mode
         outs.append(jax.jit(sweep_cm.run, static_argnums=3)(
             cmg, sweep_cm.init_state(cmg, means), cfg, 8))
-    for vi in range(2):
-        np.testing.assert_allclose(
-            np.asarray(outs[0].v[vi].mean), np.asarray(outs[1].v[vi].mean),
-            rtol=1e-12, atol=1e-12)
+    for o in outs[1:]:
+        for vi in range(2):
+            np.testing.assert_allclose(
+                np.asarray(outs[0].v[vi].mean), np.asarray(o.v[vi].mean),
+                rtol=1e-12, atol=1e-12)
 
 
 def test_cm_prepare_fallbacks():

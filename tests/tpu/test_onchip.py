@@ -20,18 +20,35 @@ def _ba(n_cams=8, n_lmks=150, seed=0):
 def test_cm_fori_equals_dispatched_bitwise():
     """The round-1 miscompile class: a fused kernel arrangement that is
     correct per-dispatch but corrupted inside lax.fori_loop.  Any change to
-    kernel inputs/outputs must keep this bit-identical."""
+    kernel inputs/outputs must keep this bit-identical.  Covers BOTH gather
+    modes (the 'table' kernels have a different operand arrangement)."""
     _, graph, means = _ba()
-    cmg = sweep_cm.prepare(graph)
-    st0 = sweep_cm.init_state(cmg, means)
     n = 6
-    a = jax.jit(sweep_cm.run, static_argnums=3)(cmg, st0, CFG, n)
-    sweepj = jax.jit(sweep_cm.sweep)
-    b = st0
-    for _ in range(n):
-        b = sweepj(cmg, b, CFG)
-    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
-        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for mode in ("rows", "table"):
+        cmg = sweep_cm.prepare(graph, gather_mode=mode)
+        st0 = sweep_cm.init_state(cmg, means)
+        a = jax.jit(sweep_cm.run, static_argnums=3)(cmg, st0, CFG, n)
+        sweepj = jax.jit(sweep_cm.sweep)
+        b = st0
+        for _ in range(n):
+            b = sweepj(cmg, b, CFG)
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_cm_table_matches_rows_on_chip():
+    """In-kernel table reconstruction must be EXACT (one-hot MXU dot at
+    HIGHEST precision): table mode == rows mode bitwise after real sweeps."""
+    _, graph, means = _ba(seed=4)
+    outs = []
+    for mode in ("rows", "table"):
+        cmg = sweep_cm.prepare(graph, gather_mode=mode, segsum_exact=True)
+        outs.append(jax.jit(sweep_cm.run, static_argnums=3)(
+            cmg, sweep_cm.init_state(cmg, means), CFG, 10))
+    for vi in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].v[vi].mean), np.asarray(outs[1].v[vi].mean))
 
 
 def test_cm_matches_row_pallas_on_chip():
