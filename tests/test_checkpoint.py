@@ -34,3 +34,45 @@ def test_save_restore_resume_identical(tmp_path):
         jax.tree_util.tree_leaves(resumed), jax.tree_util.tree_leaves(ref)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_mid_prior_weakening_schedule(tmp_path):
+    """VERDICT r1: a resume must continue the prior-annealing schedule where
+    it left off — the weakened graph AND the schedule position (sweep index,
+    weakenings applied) round-trip through the checkpoint."""
+    import jax.numpy as jnp
+
+    from gbp_tpu.models import ba
+
+    sim = ba.simulate(n_cams=5, n_lmks=40, seed=6)
+    graph, means = ba.build(sim, dtype=jnp.float64)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+    runj = jax.jit(run, static_argnums=3)
+
+    # reference: 3 schedule periods of 5 sweeps, weakening after each
+    g, st = graph, init_state(graph, means)
+    for k in range(3):
+        st = runj(g, st, cfg, 5)
+        g = ba.weaken_priors(g, 0.1)
+    ref = runj(g, st, cfg, 5)
+
+    # checkpoint after period 2, resume in a "fresh process"
+    g2, st2 = graph, init_state(graph, means)
+    for k in range(2):
+        st2 = runj(g2, st2, cfg, 5)
+        g2 = ba.weaken_priors(g2, 0.1)
+    checkpoint.save(tmp_path / "ck", st2, graph=g2,
+                    extras={"sweep": 10, "weakened": 2})
+    r_state, r_graph, r_extras = checkpoint.restore(
+        tmp_path / "ck", init_state(graph, means), graph,
+        extras_template={"sweep": 0, "weakened": 0})
+    assert int(r_extras["sweep"]) == 10 and int(r_extras["weakened"]) == 2
+    # continue the schedule from the restored position
+    g3, st3 = r_graph, r_state
+    for k in range(int(r_extras["weakened"]), 3):
+        st3 = runj(g3, st3, cfg, 5)
+        g3 = ba.weaken_priors(g3, 0.1)
+    got = runj(g3, st3, cfg, 5)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
