@@ -65,6 +65,9 @@ class HaloCMGraph(flax.struct.PyTreeNode):
     n_loc_e: int = flax.struct.field(pytree_node=False, default=0)
     n_loc_g: int = flax.struct.field(pytree_node=False, default=0)
     segsum_exact: bool = flax.struct.field(pytree_node=False, default=True)
+    # 'table': gathered-slot beliefs reconstructed in-kernel from a VMEM
+    # table (core/sweep_cm.py gather_mode='table'); 'rows': HBM expansion.
+    gather_mode: str = flax.struct.field(pytree_node=False, default="rows")
 
 
 class HaloCMState(flax.struct.PyTreeNode):
@@ -74,9 +77,12 @@ class HaloCMState(flax.struct.PyTreeNode):
 
 
 def prepare(hp: halo_mod.HaloProblem,
-            segsum_exact: bool = True):
+            segsum_exact: bool = True, gather_mode: str = "auto"):
     """Build the per-chip ELL/CM layout for a generic HaloProblem, or None
-    if the graph is ineligible (falls back to the generic halo sweep)."""
+    if the graph is ineligible (falls back to the generic halo sweep).
+
+    gather_mode 'auto' picks the in-kernel VMEM belief table for the
+    gathered slot when it fits (the single-chip fast path), else 'rows'."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
     g = hp.src_graph
@@ -154,6 +160,11 @@ def prepare(hp: halo_mod.HaloProblem,
                           for c in range(P_)])
 
     gidx = adj_g[np.arange(P_)[:, None], src].astype(np.int32)  # [P, mp]
+    d_g = fb.dofs[gs]
+    if gather_mode in ("auto", "table"):
+        ncp = ((n_loc_g + LANE - 1) // LANE) * LANE
+        fits = (2 * d_g + d_g * d_g) * ncp * 4 <= 4 * 1024 * 1024
+        gather_mode = "table" if fits else "rows"
     hcm = HaloCMGraph(
         vblocks=hp.hgraph.vblocks,
         comm=hp.hgraph.comm,
@@ -171,6 +182,7 @@ def prepare(hp: halo_mod.HaloProblem,
         dofs=fb.dofs, zdim=fb.z.shape[-1],
         comp_name=fb.ftype.name, n_args=n_args, huber=fb.huber,
         n_loc_e=n_loc_e, n_loc_g=n_loc_g, segsum_exact=segsum_exact,
+        gather_mode=gather_mode,
     )
     # global ids per reordered row (host-side, for init_state)
     rows_global = hp.fb_src_rows[0][np.arange(P_)[:, None], src]
@@ -253,30 +265,58 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
     ).reshape(pk_e.shape[1], t_tiles, LANE)
     pk_g = _pack_local(state.v[hcm.vb_g], state.ghost[hcm.vb_g],
                        hcm.n_loc_g, d_g)
-    cm_g = _rm2cm(pk_g[hcm.gidx_rm])
     d2e, d2g = d_e * d_e, d_g * d_g
     be_e, bl_e, mean_e = cm_e[:d_e], cm_e[d_e : d_e + d2e], cm_e[d_e + d2e :]
-    be_g, bl_g, mean_g = cm_g[:d_g], cm_g[d_g : d_g + d2g], cm_g[d_g + d2g :]
-    by_slot = lambda a_e, a_g: (a_e, a_g) if hcm.e == 0 else (a_g, a_e)
-    be0, be1 = by_slot(be_e, be_g)
-    bl0, bl1 = by_slot(bl_e, bl_g)
-    mean0, mean1 = by_slot(mean_e, mean_g)
-    x_cm = jnp.concatenate([mean0, mean1], axis=0)
     d0, d1 = hcm.dofs
-
     fs = state.f
-    lp, jac, r0, srel = fused_relin_cm(
-        params, x_cm, hcm.z, hcm.args, fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
-        d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
-        n_args=hcm.n_args, interpret=interp,
-    )
-    oe0, ol0, oe1, ol1 = fused_messages_cm(
-        params, jac, lp, r0, hcm.prec, srel, hcm.act,
-        be0, bl0, be1, bl1,
-        fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-        d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
-        interpret=interp,
-    )
+    if hcm.gather_mode == "table":
+        from gbp_tpu.ops.messages_pallas import (
+            fused_messages_cm_tab,
+            fused_relin_cm_tab,
+        )
+
+        ncp = ((pk_g.shape[0] + LANE - 1) // LANE) * LANE
+        tab = jnp.swapaxes(
+            jnp.pad(pk_g, ((0, ncp - pk_g.shape[0]), (0, 0))), 0, 1)
+        btab = tab[: d_g + d2g]
+        mtab = tab[d_g + d2g :]
+        gslot = 1 - hcm.e
+        lp, jac, r0, srel = fused_relin_cm_tab(
+            params, mean_e, mtab, hcm.gidx_cm, hcm.z, hcm.args,
+            fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
+            d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+            n_args=hcm.n_args, gslot=gslot, interpret=interp,
+        )
+        oe0, ol0, oe1, ol1 = fused_messages_cm_tab(
+            params, jac, lp, r0, hcm.prec, srel, hcm.act,
+            be_e, bl_e, btab, hcm.gidx_cm,
+            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+            d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+            gslot=gslot, interpret=interp,
+        )
+    else:
+        cm_g = _rm2cm(pk_g[hcm.gidx_rm])
+        be_g, bl_g, mean_g = (cm_g[:d_g], cm_g[d_g : d_g + d2g],
+                              cm_g[d_g + d2g :])
+        by_slot = lambda a_e, a_g: (a_e, a_g) if hcm.e == 0 else (a_g, a_e)
+        be0, be1 = by_slot(be_e, be_g)
+        bl0, bl1 = by_slot(bl_e, bl_g)
+        mean0, mean1 = by_slot(mean_e, mean_g)
+        x_cm = jnp.concatenate([mean0, mean1], axis=0)
+
+        lp, jac, r0, srel = fused_relin_cm(
+            params, x_cm, hcm.z, hcm.args, fs.lp, fs.jac, fs.r0, fs.srel,
+            hcm.act,
+            d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+            n_args=hcm.n_args, interpret=interp,
+        )
+        oe0, ol0, oe1, ol1 = fused_messages_cm(
+            params, jac, lp, r0, hcm.prec, srel, hcm.act,
+            be0, bl0, be1, bl1,
+            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+            d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+            interpret=interp,
+        )
     fs = CMFactorState(lp=lp, jac=jac, r0=r0, srel=srel,
                        msg_eta=(oe0, oe1), msg_lam=(ol0, ol1))
 
@@ -345,12 +385,14 @@ def make_run(mesh: Mesh, hcm: HaloCMGraph, state: HaloCMState,
 
 
 def distribute(graph, means, mesh: Mesh, anchor_slot: int = 0,
-               comm_mode: str = "auto", segsum_exact: bool = True):
+               comm_mode: str = "auto", segsum_exact: bool = True,
+               gather_mode: str = "auto"):
     """Partition + CM-prepare + place; returns (hp, hcm, state, run_fn) or
     None when the graph is CM-ineligible."""
     axis = mesh.axis_names[0]
     hp = halo_mod.partition(graph, mesh.devices.size, anchor_slot, comm_mode)
-    prepped = prepare(hp, segsum_exact=segsum_exact)
+    prepped = prepare(hp, segsum_exact=segsum_exact,
+                      gather_mode=gather_mode)
     if prepped is None:
         return None
     hcm, rows_global = prepped
