@@ -447,23 +447,12 @@ def _compute_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
 
 
 def _marginalize_onto(eta, lam, off, d) -> Gaussian:
-    """Schur-marginalize joint [m, t] onto the contiguous block [off, off+d)."""
-    t = eta.shape[-1]
-    if t == d:
-        # Unary factor: the "joint" is already the marginal.
-        return Gaussian(eta, lam)
-    perm = list(range(off, off + d)) + [i for i in range(t) if not off <= i < off + d]
-    eta_p = eta[..., perm]
-    lam_p = lam[..., perm, :][..., :, perm]
-    eta_a, eta_b = eta_p[..., :d], eta_p[..., d:]
-    lam_aa = lam_p[..., :d, :d]
-    lam_ab = lam_p[..., :d, d:]
-    lam_bb = lam_p[..., d:, d:]
-    bb_inv = scaled_sym_inv(lam_bb, t - d)
-    wmat = bmm(lam_ab, bb_inv)
-    lam_m = lam_aa - bmm(wmat, bT(lam_ab))
-    eta_m = eta_a - bmv(wmat, eta_b)
-    return Gaussian(eta_m, lam_m)
+    """Schur-marginalize joint [m, t] onto the contiguous block [off, off+d)
+    (delegates to gaussians.marginalize — one implementation, used by both
+    the engine and library callers)."""
+    from gbp_tpu.gaussians import marginalize
+
+    return marginalize(eta, lam, off, d)
 
 
 # --- graph-level steps ------------------------------------------------------

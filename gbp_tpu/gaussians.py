@@ -15,7 +15,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from gbp_tpu.utils.smalllinalg import bT, bmm, bmv, sym_inv, sym_solve
+from gbp_tpu.utils.smalllinalg import bT, bmm, bmv, scaled_sym_inv, sym_inv, sym_solve
 
 
 class Gaussian(NamedTuple):
@@ -79,6 +79,9 @@ def marginalize(eta: jnp.ndarray, lam: jnp.ndarray, keep_start: int, keep_dim: i
     """
     t = eta.shape[-1]
     ks, kd = keep_start, keep_dim
+    if t == kd:
+        # Unary joint: already the marginal.
+        return Gaussian(eta, lam)
     # Permute kept block to the front (static permutation).
     perm = list(range(ks, ks + kd)) + [i for i in range(t) if not ks <= i < ks + kd]
     eta_p = eta[..., perm]
@@ -90,7 +93,7 @@ def marginalize(eta: jnp.ndarray, lam: jnp.ndarray, keep_start: int, keep_dim: i
     lam_ab = lam_p[..., :kd, kd:]
     lam_bb = lam_p[..., kd:, kd:]
 
-    bb_inv = sym_inv(lam_bb, t - kd)
+    bb_inv = scaled_sym_inv(lam_bb, t - kd)  # Jacobi-normalized: f32-safe
     w = bmm(lam_ab, bb_inv)                               # [..., kd, t-kd]
     lam_m = lam_aa - bmm(w, bT(lam_ab))
     eta_m = eta_a - bmv(w, eta_b)
