@@ -38,6 +38,13 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--oracle", action="store_true",
                    help="also print the dense-MAP reprojection error")
+    p.add_argument("--message_form", default="pallas",
+                   choices=("pallas", "covariance", "schur"),
+                   help="'pallas' uses the fused-kernel fast path (and the "
+                        "persistent component-major sweep when eligible)")
+    p.add_argument("--n_chips", type=int, default=1,
+                   help="partition the graph over the first N devices "
+                        "(owner-sharded halo SPMD, gbp_tpu.parallel.halo)")
     return p.parse_args()
 
 
@@ -52,7 +59,9 @@ def main():
         eta_damping=args.eta_damping, lam_damping=args.lam_damping,
         beta=args.beta, num_undamped_iters=args.num_undamped_iters,
         min_linear_iters=args.min_linear_iters,
+        message_form=args.message_form,
     )
+    layout = "none" if args.n_chips > 1 else "ell"
 
     px_scale, k = None, None
     if args.bal_file:
@@ -60,32 +69,102 @@ def main():
 
         problem = balio.prune(balio.read_bal(args.bal_file))
         sim = balio.to_sim(problem, pix_sigma=args.pix_sigma)
-        graph, means, px_scale = ba.build_bal(sim, huber=args.huber)
+        graph, means, px_scale = ba.build_bal(sim, huber=args.huber,
+                                              layout=layout)
         print(f"loaded {args.bal_file}: {sim['cam_init'].shape[0]} cams, "
               f"{sim['lmk_init'].shape[0]} landmarks, {sim['obs'].shape[0]} observations")
     else:
         sim = ba.simulate(n_cams=args.n_cams, n_lmks=args.n_lmks,
                           pix_sigma=args.pix_sigma, seed=args.seed)
-        graph, means = ba.build(sim, huber=args.huber)
+        graph, means = ba.build(sim, huber=args.huber, layout=layout)
         k = sim["k"]
         print(f"simulated scene: {args.n_cams} cams, {sim['lmk_init'].shape[0]} "
               f"landmarks, {sim['obs'].shape[0]} observations")
-    print(f"device: {jax.devices()[0]}")
 
-    state = init_state(graph, means)
-    runj = jax.jit(run, static_argnums=3)
-    are = float(ba.avg_reprojection_error(graph, state, k=k, px_scale=px_scale))
-    print(f"sweep   0: avg reprojection error {are:9.4f} px")
+    # --- select the execution path -------------------------------------
+    cmg = hp = hcm = run_halo = None
+    if args.n_chips > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from gbp_tpu.parallel import halo, halo_cm
+
+        devs = jax.devices()
+        assert len(devs) >= args.n_chips, \
+            f"--n_chips {args.n_chips} but only {len(devs)} devices"
+        mesh = Mesh(np.asarray(devs[: args.n_chips]).reshape(-1), ("graph",))
+        out = (halo_cm.distribute(graph, means, mesh)
+               if args.message_form == "pallas" else None)
+        if out is not None:
+            hp, hcm, state, run_halo = out
+            print(f"path: halo_cm (owner-sharded, per-chip CM fast path) "
+                  f"on {args.n_chips} devices")
+        else:
+            hp, state, run_halo = halo.distribute(graph, means, mesh)
+            hcm = None
+            print(f"path: halo (owner-sharded) on {args.n_chips} devices")
+    else:
+        if args.message_form == "pallas":
+            from gbp_tpu.core import sweep_cm
+
+            cmg = sweep_cm.prepare(graph)
+        if cmg is not None:
+            state = sweep_cm.init_state(cmg, means)
+            print(f"path: persistent component-major sweep "
+                  f"(gather_mode={cmg.gather_mode}) on {jax.devices()[0]}")
+        else:
+            state = init_state(graph, means)
+            print(f"path: generic sweep ({args.message_form}) "
+                  f"on {jax.devices()[0]}")
+
+    def current_are(state):
+        if hp is not None:
+            from gbp_tpu.parallel import halo
+
+            mu = halo.collect_means(hp, state)
+            ref = ba.with_means(init_state(graph, means), tuple(mu))
+            return float(ba.avg_reprojection_error(graph, ref, k=k,
+                                                   px_scale=px_scale))
+        if cmg is not None:
+            from gbp_tpu.core import sweep_cm
+
+            return float(ba.avg_reprojection_error(
+                graph, sweep_cm.to_gbp_state(cmg, state), k=k,
+                px_scale=px_scale))
+        return float(ba.avg_reprojection_error(graph, state, k=k,
+                                               px_scale=px_scale))
+
+    if hp is not None:
+        runj = run_halo
+    elif cmg is not None:
+        from gbp_tpu.core import sweep_cm
+
+        runj = jax.jit(sweep_cm.run, static_argnums=3)
+    else:
+        runj = jax.jit(run, static_argnums=3)
+
+    print(f"sweep   0: avg reprojection error {current_are(state):9.4f} px")
 
     t0 = time.time()
     weakened = 0
     for it in range(0, args.n_iters, args.weaken_every):
         n = min(args.weaken_every, args.n_iters - it)
-        state = runj(graph, state, cfg, n)
-        are = float(ba.avg_reprojection_error(graph, state, k=k, px_scale=px_scale))
-        print(f"sweep {it + n:3d}: avg reprojection error {are:9.4f} px")
+        if hp is not None:
+            state = runj((hcm if hcm is not None else hp.hgraph), state, cfg, n)
+        else:
+            state = runj(cmg if cmg is not None else graph, state, cfg, n)
+        print(f"sweep {it + n:3d}: avg reprojection error "
+              f"{current_are(state):9.4f} px")
         if weakened < args.weaken_times:
             graph = ba.weaken_priors(graph, args.weaken_factor)
+            if hp is not None:
+                from gbp_tpu.parallel import halo
+
+                hp = halo.weaken_priors(hp, args.weaken_factor)
+                if hcm is not None:
+                    hcm = hcm.replace(vblocks=hp.hgraph.vblocks)
+            elif cmg is not None:
+                cmg = cmg.replace(base=graph)
             weakened += 1
     dt = time.time() - t0
     print(f"{args.n_iters} sweeps in {dt:.2f}s  ({args.n_iters / dt:.1f} sweeps/s)")
@@ -93,8 +172,19 @@ def main():
     if args.oracle:
         from gbp_tpu.core import oracle
 
-        mu = oracle.map_solution(graph, state)
-        ref = ba.with_means(state, mu)
+        if hp is not None:
+            from gbp_tpu.parallel import halo
+
+            gstate = init_state(graph, tuple(
+                jax.numpy.asarray(m) for m in halo.collect_means(hp, state)))
+        elif cmg is not None:
+            from gbp_tpu.core import sweep_cm
+
+            gstate = sweep_cm.to_gbp_state(cmg, state)
+        else:
+            gstate = state
+        mu = oracle.map_solution(graph, gstate)
+        ref = ba.with_means(gstate, mu)
         are_map = float(ba.avg_reprojection_error(graph, ref, k=k, px_scale=px_scale))
         print(f"dense-MAP avg reprojection error {are_map:9.4f} px")
 

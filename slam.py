@@ -17,6 +17,9 @@ def parse_args():
     p.add_argument("--outlier_frac", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print_every", type=int, default=20)
+    p.add_argument("--n_chips", type=int, default=1,
+                   help="partition the pose graph over the first N devices "
+                        "(owner-sharded halo SPMD, gbp_tpu.parallel.halo)")
     return p.parse_args()
 
 
@@ -43,18 +46,42 @@ def main():
         truth = sim["truth"]
         print(f"simulated Manhattan world: {args.n_poses} poses, "
               f"{sim['odom_ij'].shape[0]} odometry + {sim['loop_ij'].shape[0]} loop factors")
-    print(f"device: {jax.devices()[0]}")
+    hp = run_halo = mesh = None
+    if args.n_chips > 1:
+        import numpy as np
+        from jax.sharding import Mesh
 
-    state = init_state(graph, means)
+        from gbp_tpu.parallel import halo
+
+        devs = jax.devices()
+        assert len(devs) >= args.n_chips, \
+            f"--n_chips {args.n_chips} but only {len(devs)} devices"
+        mesh = Mesh(np.asarray(devs[: args.n_chips]).reshape(-1), ("graph",))
+        hp, state, run_halo = halo.distribute(graph, means, mesh)
+        print(f"path: halo (owner-sharded) on {args.n_chips} devices")
+    else:
+        state = init_state(graph, means)
+        print(f"device: {jax.devices()[0]}")
+
     runj = jax.jit(run, static_argnums=3)
     t0 = time.time()
     for it in range(0, args.n_iters, args.print_every):
         n = min(args.print_every, args.n_iters - it)
-        state = runj(graph, state, cfg, n)
-        e = float(energy(graph, state))
-        line = f"sweep {it + n:4d}: energy {e:12.3f}"
-        if truth is not None:
-            line += f"  ATE {pose_graph.ate(state.v[0].mean, truth):8.4f}"
+        if hp is not None:
+            from gbp_tpu.parallel import halo
+
+            state = run_halo(hp.hgraph, state, cfg, n)
+            mu = halo.collect_means(hp, state)[0]
+            e = halo.energy_halo(hp, state, mesh)
+            line = f"sweep {it + n:4d}: energy {float(e):12.3f}"
+            if truth is not None:
+                line += f"  ATE {pose_graph.ate(mu, truth):8.4f}"
+        else:
+            state = runj(graph, state, cfg, n)
+            e = float(energy(graph, state))
+            line = f"sweep {it + n:4d}: energy {e:12.3f}"
+            if truth is not None:
+                line += f"  ATE {pose_graph.ate(state.v[0].mean, truth):8.4f}"
         print(line)
     dt = time.time() - t0
     print(f"{args.n_iters} sweeps in {dt:.2f}s  ({args.n_iters / dt:.1f} sweeps/s)")

@@ -155,3 +155,20 @@ def test_halo_energy_matches_single_device():
     single = _single(graph, means, cfg, 10)
     e_single = float(energy(graph, single))
     np.testing.assert_allclose(e_halo, e_single, rtol=1e-8)
+
+
+def test_halo_se3_pose_graph_matches_single_device():
+    """SE(3) pose graph (full 6x6 edge information) under the halo exchange."""
+    from tests.test_se3_pose_graph import simulate_se3
+
+    data = simulate_se3(n_poses=40, seed=2)
+    graph, means = pose_graph.build_g2o(data, dtype=jnp.float64)
+    cfg = pose_graph.default_config()
+    single = _single(graph, means, cfg, 20)
+
+    mesh = sharding.make_mesh(8)
+    hp, st, run_halo = halo.distribute(graph, means, mesh)
+    out = run_halo(hp.hgraph, st, cfg, 20)
+    got = halo.collect_means(hp, out)
+    np.testing.assert_allclose(
+        got[0], np.asarray(single.v[0].mean), rtol=1e-8, atol=1e-10)
