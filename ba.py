@@ -117,12 +117,17 @@ def main():
             print(f"path: generic sweep ({args.message_form}) "
                   f"on {jax.devices()[0]}")
 
+    # Means-only template for halo-path metrics (built ONCE: init_state
+    # re-linearizes the whole factor block, far too heavy per print).
+    metric_state = init_state(graph, means) if hp is not None else None
+
     def current_are(state):
         if hp is not None:
             from gbp_tpu.parallel import halo
 
             mu = halo.collect_means(hp, state)
-            ref = ba.with_means(init_state(graph, means), tuple(mu))
+            ref = ba.with_means(metric_state, tuple(
+                jax.numpy.asarray(m) for m in mu))
             return float(ba.avg_reprojection_error(graph, ref, k=k,
                                                    px_scale=px_scale))
         if cmg is not None:

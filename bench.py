@@ -91,11 +91,20 @@ def measure_tpu(sim):
         ares.append(float(ba.avg_reprojection_error(
             graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"])))
     final = min(ares)
-    conv_i = next(i for i, a in enumerate(ares) if a <= 1.02 * final)
-    t_conv = times[conv_i]
-    log(f"[bench] convergence: ARE/25-sweep chunk = "
-        + " ".join(f"{a:.3f}" for a in ares)
-        + f" -> converged at chunk {conv_i+1} ({t_conv:.3f}s wall)")
+    # Converged only if the run actually PLATEAUED inside the horizon (last
+    # chunk within 2% of the best) — otherwise min(ares) trivially satisfies
+    # its own test and a still-descending/oscillating run would claim a
+    # bogus convergence time.
+    if ares[-1] <= 1.02 * final:
+        conv_i = next(i for i, a in enumerate(ares) if a <= 1.02 * final)
+        t_conv = times[conv_i]
+        log(f"[bench] convergence: ARE/25-sweep chunk = "
+            + " ".join(f"{a:.3f}" for a in ares)
+            + f" -> converged at chunk {conv_i+1} ({t_conv:.3f}s wall)")
+    else:
+        t_conv = None
+        log(f"[bench] convergence: NOT plateaued within {chunk * 8} sweeps "
+            "(wall_clock_to_convergence_s = null)")
     return sweeps_per_s, m, t_conv
 
 
@@ -145,7 +154,7 @@ def main():
         "value": round(sweeps_per_s, 2),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_s / baseline_sweeps_per_s, 2),
-        "wall_clock_to_convergence_s": round(t_conv, 3),
+        "wall_clock_to_convergence_s": None if t_conv is None else round(t_conv, 3),
         "n_factors": m,
     }))
 

@@ -127,6 +127,8 @@ def prepare(graph: Graph, gather_mode: str = "auto",
     fb = graph.fblocks[0]
     if (
         len(fb.dofs) != 2
+        or fb.vblocks[0] == fb.vblocks[1]  # distinct blocks: the belief
+        # update writes each slot's vblock separately and would clobber
         or fb.ell_slot is None
         or fb.ftype.residual_fn is not None
         or fb.ftype.name not in COMP_FACTORS
@@ -227,9 +229,9 @@ def _expand_ell(cmg: CMGraph, vs: VariableState):
     n, d = vs.eta.shape
     pk = _pack_beliefs(vs)  # [n, F]
     if cmg.nv > n:
-        pad_row = jnp.concatenate(
-            [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
-        ).astype(pk.dtype)
+        from gbp_tpu.gaussians import packed_identity_row
+
+        pad_row = packed_identity_row(d, pk.dtype)
         pk = jnp.concatenate(
             [pk, jnp.tile(pad_row[None, :], (cmg.nv - n, 1))], axis=0
         )

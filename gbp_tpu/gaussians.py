@@ -56,6 +56,16 @@ def isotropic(mu: jnp.ndarray, prec: jnp.ndarray) -> Gaussian:
     return Gaussian(jnp.asarray(prec)[..., None] * mu, lam)
 
 
+def packed_identity_row(d: int, dtype=jnp.float32) -> jnp.ndarray:
+    """The padded-belief convention shared by the CM/halo paths: one packed
+    (eta | lam | mean) row with eta = 0, lam = I, mean = 0 — keeps cavity
+    inverses finite for structurally-dead slots while contributing nothing.
+    Single source of truth for the [2d + d^2] packing layout's pad row."""
+    return jnp.concatenate(
+        [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
+    ).astype(dtype)
+
+
 def zeros(shape, d: int, dtype=jnp.float32) -> Gaussian:
     """All-zero (fully uninformative) Gaussian batch."""
     shape = tuple(shape)

@@ -405,6 +405,7 @@ def fused_messages_cm_tab(params, jac, x0, r0, prec, since_relin, active,
     ELL broadcast)."""
     dt = jac.dtype
     t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
     grid = (t_tiles // SUB,)
     cm_args = [jac, x0, r0, prec, since_relin, active, be_o, bl_o]
     msg_args = [me0, ml0, me1, ml1]
@@ -446,6 +447,7 @@ def fused_relin_cm_tab(params, x_other, mtab, gidx, z_meas, fargs, linpoint,
     dt = x_other.dtype
     t = d0 + d1
     t_tiles = x_other.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
     grid = (t_tiles // SUB,)
     if fargs is None or n_args == 0:
         fargs = jnp.zeros((1, t_tiles, LANE), dt)
@@ -529,6 +531,7 @@ def segsum_cm(me, ml, idx, *, n_seg, exact=False, interpret=False):
     if dt != jnp.float32:
         exact = True  # the bf16 split only makes sense for f32 operands
     ncp = ((n_seg + LANE - 1) // LANE) * LANE
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
     grid = (t_tiles // SUB,)
 
     def cm_spec(a):

@@ -679,9 +679,9 @@ def exchange_and_update(vb, c: HaloComm, packed: jnp.ndarray, ghost_prev,
         exp = pk[c.bnd_idx]  # [b_max, 2d+d^2]
         allb = jax.lax.all_gather(exp, axis).reshape(-1, 2 * d + d * d)
         got = allb[c.ghost_src]
-    idrow = jnp.concatenate(
-        [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
-    ).astype(pk.dtype)
+    from gbp_tpu.gaussians import packed_identity_row
+
+    idrow = packed_identity_row(d, pk.dtype)
     got = jnp.where(c.ghost_mask[:, None], got, idrow[None, :])
     ghost = VariableState(
         eta=got[:, :d],
@@ -690,13 +690,14 @@ def exchange_and_update(vb, c: HaloComm, packed: jnp.ndarray, ghost_prev,
     return owned, ghost
 
 
-def _specs(hp: HaloProblem, state: HaloState, axis: str):
-    def sh(a):
-        return P(axis, *([None] * (a.ndim - 1)))
+def shard_leading(tree, axis: str):
+    """PartitionSpec pytree: every leaf sharded on its leading chip axis."""
+    return jax.tree_util.tree_map(
+        lambda a: P(axis, *([None] * (a.ndim - 1))), tree)
 
-    gspec = jax.tree_util.tree_map(sh, hp.hgraph)
-    sspec = jax.tree_util.tree_map(sh, state)
-    return gspec, sspec
+
+def _specs(hp: HaloProblem, state: HaloState, axis: str):
+    return shard_leading(hp.hgraph, axis), shard_leading(state, axis)
 
 
 def make_run(mesh: Mesh, hp: HaloProblem, state: HaloState, axis: str = "graph"):
@@ -725,13 +726,15 @@ def make_run(mesh: Mesh, hp: HaloProblem, state: HaloState, axis: str = "graph")
     return run_halo
 
 
-def distribute(graph: Graph, means: tuple, mesh: Mesh, anchor_slot: int = 0):
+def distribute(graph: Graph, means: tuple, mesh: Mesh, anchor_slot: int = 0,
+               comm_mode: str = "auto"):
     """Partition + place: returns (HaloProblem, HaloState, run_fn).
 
     Factor data and owned/ghost beliefs are sharded chip-major on the mesh
-    axis; nothing is replicated except GBPConfig scalars."""
+    axis; nothing is replicated except GBPConfig scalars.  comm_mode picks
+    the exchange lowering (see partition)."""
     axis = mesh.axis_names[0]
-    hp = partition(graph, mesh.devices.size, anchor_slot)
+    hp = partition(graph, mesh.devices.size, anchor_slot, comm_mode)
     state = init_state(hp, means)
     gspec, sspec = _specs(hp, state, axis)
 

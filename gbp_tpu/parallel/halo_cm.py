@@ -241,9 +241,9 @@ def _pack_local(vs_own, vs_ghost, n_pad, d):
     ], axis=1)
     n = pk.shape[0]
     if n_pad > n:
-        idrow = jnp.concatenate(
-            [jnp.zeros(d), jnp.eye(d).reshape(-1), jnp.zeros(d)]
-        ).astype(pk.dtype)
+        from gbp_tpu.gaussians import packed_identity_row
+
+        idrow = packed_identity_row(d, pk.dtype)
         pk = jnp.concatenate([pk, jnp.tile(idrow[None], (n_pad - n, 1))])
     return pk
 
@@ -349,11 +349,8 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
 
 
 def _specs(hcm, state, axis):
-    def sh(a):
-        return P(axis, *([None] * (a.ndim - 1)))
-
-    return (jax.tree_util.tree_map(sh, hcm),
-            jax.tree_util.tree_map(sh, state))
+    return (halo_mod.shard_leading(hcm, axis),
+            halo_mod.shard_leading(state, axis))
 
 
 def make_run(mesh: Mesh, hcm: HaloCMGraph, state: HaloCMState,
