@@ -72,8 +72,82 @@ def _quat_to_rotmat(q):
     ])
 
 
+
+
+def _unpack_upper_batch(vals, d):
+    """[m, d(d+1)/2] upper-tri rows -> symmetric [m, d, d] (vectorized)."""
+    iu = np.triu_indices(d)
+    out = np.zeros((vals.shape[0], d, d))
+    out[:, iu[0], iu[1]] = vals
+    out[:, iu[1], iu[0]] = vals
+    return out
+
+
+def _quat_to_rotmat_batch(q):
+    """[m, 4] (qx, qy, qz, qw) -> [m, 3, 3] (vectorized)."""
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                  2 * (x * z + y * w)], -1),
+        np.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - x * w)], -1),
+        np.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], axis=1)
+
+
+def _so3_log_batch(r):
+    """[m, 3, 3] -> [m, 3] angle-axis, one vmapped call (the per-row jax
+    dispatch loop in the Python parser costs seconds at city scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gbp_tpu.utils.lie import so3_log
+
+    if r.shape[0] == 0:
+        return np.zeros((0, 3))
+    return np.asarray(jax.vmap(so3_log)(jnp.asarray(r)))
+
+
+def _assemble_native(raw):
+    """Raw fastg2o rows -> the read_g2o dict (vectorized conversions)."""
+    if raw["v2_id"].size:
+        order = np.argsort(raw["v2_id"])
+        ids = raw["v2_id"][order]
+        assert ids.tolist() == list(range(len(ids))), "non-dense SE2 vertex ids"
+        poses = raw["v2"][order]
+        z = raw["e2"][:, :3]
+        info = _unpack_upper_batch(raw["e2"][:, 3:9], 3)
+        c, s = np.cos(z[:, 2]), np.sin(z[:, 2])
+        a = np.tile(np.eye(3), (z.shape[0], 1, 1))
+        a[:, 0, 0] = c
+        a[:, 0, 1] = -s
+        a[:, 1, 0] = s
+        a[:, 1, 1] = c
+        info = np.einsum("mij,mjk,mlk->mil", a, info, a)
+        return dict(kind="se2", poses=poses, edges_ij=raw["e2_ij"],
+                    edges_z=z, edges_info=info)
+    order = np.argsort(raw["v3_id"])
+    ids = raw["v3_id"][order]
+    assert ids.tolist() == list(range(len(ids))), "non-dense SE3 vertex ids"
+    v3 = raw["v3"][order]
+    poses = np.concatenate(
+        [v3[:, :3], _so3_log_batch(_quat_to_rotmat_batch(v3[:, 3:7]))], axis=1)
+    e3 = raw["e3"]
+    r_z = _quat_to_rotmat_batch(e3[:, 3:7]) if e3.shape[0] else np.zeros((0, 3, 3))
+    z = np.concatenate([e3[:, :3], _so3_log_batch(r_z)], axis=1) \
+        if e3.shape[0] else np.zeros((0, 6))
+    info = _unpack_upper_batch(e3[:, 7:28], 6)
+    a = np.tile(np.eye(6), (e3.shape[0], 1, 1))
+    a[:, :3, :3] = r_z
+    info = np.einsum("mij,mjk,mlk->mil", a, info, a)
+    return dict(kind="se3", poses=poses, edges_ij=raw["e3_ij"],
+                edges_z=z, edges_info=info)
+
 def read_g2o(path):
-    """Parse a g2o file -> dict.
+    """Parse a g2o file -> dict (native fastg2o parser when available,
+    pure-Python tokenizer otherwise — identical output).
 
     Returns (SE2 graphs):
       poses:   [n, 3] (x, y, theta), index = vertex id (ids must be dense)
@@ -84,6 +158,20 @@ def read_g2o(path):
     For SE3 graphs the pose rows are [x, y, z, omega(3)] (angle-axis) with
     kind "se3" and 6x6 information; quaternions are converted on load.
     """
+    try:
+        from gbp_tpu.io._native import parse_g2o_bytes
+
+        with open(path, "rb") as f:
+            raw = parse_g2o_bytes(f.read())
+    except ValueError:
+        raw = None
+    if raw is not None and (raw["v2_id"].size or raw["v3_id"].size):
+        return _assemble_native(raw)
+    return _read_g2o_python(path)
+
+
+def _read_g2o_python(path):
+    """Line-by-line fallback parser (same output as the native path)."""
     se2_v, se2_e = {}, []
     se3_v, se3_e = {}, []
     with open(path) as f:
