@@ -41,7 +41,9 @@ def parse_args():
     p.add_argument("--message_form", default="pallas",
                    choices=("pallas", "covariance", "schur"),
                    help="'pallas' uses the fused-kernel fast path (and the "
-                        "persistent component-major sweep when eligible)")
+                        "persistent component-major sweep when eligible); "
+                        "'schur' is the reference's info-form marginalization "
+                        "— f64 only (catastrophic cancellation in f32)")
     p.add_argument("--n_chips", type=int, default=1,
                    help="partition the graph over the first N devices "
                         "(owner-sharded halo SPMD, gbp_tpu.parallel.halo)")
@@ -62,6 +64,15 @@ def main():
         message_form=args.message_form,
     )
     layout = "none" if args.n_chips > 1 else "ell"
+    import jax.numpy as jnp
+    dtype = jnp.float32
+    if args.message_form == "schur":
+        # The info-form Schur marginalization cancels catastrophically in
+        # f32 (that is why the covariance form exists); force f64.
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+        print("message_form=schur: building in f64 (f32 is numerically "
+              "unsafe for the info-form marginalization)")
 
     px_scale, k = None, None
     if args.bal_file:
@@ -70,13 +81,14 @@ def main():
         problem = balio.prune(balio.read_bal(args.bal_file))
         sim = balio.to_sim(problem, pix_sigma=args.pix_sigma)
         graph, means, px_scale = ba.build_bal(sim, huber=args.huber,
-                                              layout=layout)
+                                              layout=layout, dtype=dtype)
         print(f"loaded {args.bal_file}: {sim['cam_init'].shape[0]} cams, "
               f"{sim['lmk_init'].shape[0]} landmarks, {sim['obs'].shape[0]} observations")
     else:
         sim = ba.simulate(n_cams=args.n_cams, n_lmks=args.n_lmks,
                           pix_sigma=args.pix_sigma, seed=args.seed)
-        graph, means = ba.build(sim, huber=args.huber, layout=layout)
+        graph, means = ba.build(sim, huber=args.huber, layout=layout,
+                                dtype=dtype)
         k = sim["k"]
         print(f"simulated scene: {args.n_cams} cams, {sim['lmk_init'].shape[0]} "
               f"landmarks, {sim['obs'].shape[0]} observations")

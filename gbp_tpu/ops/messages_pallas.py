@@ -17,8 +17,12 @@ two dims), so each matrix component is one (SUB, LANE) = (8, 128) vreg tile
 and all small-matrix algebra (gbp_tpu/ops/comp_linalg.py) is full-width VPU
 elementwise work.  Nothing >2D exists inside the kernel: Mosaic would pad a
 [tile, d, d] intermediate's trailing (d, d) dims to (8, 128) vregs — a ~50x
-VMEM/computation blowup for d <= 9.  The [m, ...] <-> component-major
-transposes happen in XLA around the call (cheap HBM copies).
+VMEM/computation blowup for d <= 9.  The row-major wrappers transpose
+[m, ...] <-> component-major around the call; the `*_cm` wrappers take
+operands that stay RESIDENT in this layout across sweeps
+(core/sweep_cm.py), and the `*_cm_tab` wrappers additionally reconstruct
+one slot's beliefs in-kernel from a VMEM table (see `_table_rows`) so the
+expanded operands never exist in HBM.
 
 Two-slot factor blocks only (all reference graphs are pairwise, SURVEY.md §7
 'Ragged degree'); the engine falls back to the XLA path otherwise.

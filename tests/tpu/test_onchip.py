@@ -94,3 +94,31 @@ def test_ba_converges_on_chip():
     assert np.isfinite(e1) and e1 < e0, (e0, e1)
     are = float(ba.avg_reprojection_error(graph, st, k=sim["k"]))
     assert np.isfinite(are) and are < 3.0, are
+
+
+def test_halo_cm_on_chip_single_mesh():
+    """The CM-under-halo sweep compiles and matches plain CM ON CHIP with a
+    1-chip mesh (all exchange machinery inline; Mosaic sees the kernels
+    inside shard_map + fori_loop)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from gbp_tpu.parallel import halo, halo_cm
+
+    sim, graph, means = None, None, None
+    sim = ba.simulate(n_cams=8, n_lmks=150, seed=0)
+    g_none, m_none = ba.build(sim, layout="none")
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("graph",))
+    out = halo_cm.distribute(g_none, m_none, mesh)
+    assert out is not None
+    hp, hcm, st, run_fn = out
+    st = run_fn(hcm, st, CFG, 12)
+    got = halo.collect_means(hp, st)
+
+    graph, means = ba.build(sim)
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    ref = jax.jit(sweep_cm.run, static_argnums=3)(
+        cmg, sweep_cm.init_state(cmg, means), CFG, 12)
+    for vbi in range(2):
+        np.testing.assert_allclose(
+            got[vbi], np.asarray(ref.v[vbi].mean), rtol=2e-4, atol=2e-4)
