@@ -67,14 +67,31 @@ def _table_rows(tab_ref, idx_ref, f):
     this removes the [f, m]-sized belief expansion from HBM entirely."""
     tab = tab_ref[...]  # [f, ncp]
     ncp = tab.shape[1]
+    dn = (((1,), (0,)), ((), ()))
+    if tab.dtype == jnp.float32:
+        # Exact 3-pass split: the one-hot side is bf16-exact, so splitting
+        # ONLY the table into 3 bf16-exact chunks (8+8+8 mantissa bits)
+        # reproduces the f32 values while halving HIGHEST's 6 MXU passes.
+        hi = tab.astype(jnp.bfloat16).astype(jnp.float32)
+        r = tab - hi
+        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+        parts = (hi, mid, r - mid)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        parts = (tab,)
+        prec = jax.lax.Precision.HIGHEST
     cols = []
     for s in range(SUB):
         i_s = idx_ref[0, s : s + 1, :]  # [1, LANE]
         oh = (jax.lax.broadcasted_iota(jnp.int32, (ncp, LANE), 0) == i_s)
-        cols.append(jax.lax.dot_general(
-            tab, oh.astype(tab.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=tab.dtype,
-            precision=jax.lax.Precision.HIGHEST))  # [f, LANE]
+        ohf = oh.astype(tab.dtype)
+        acc = None
+        for part in parts:
+            d = jax.lax.dot_general(part, ohf, dn,
+                                    preferred_element_type=tab.dtype,
+                                    precision=prec)
+            acc = d if acc is None else acc + d
+        cols.append(acc)  # [f, LANE]
     stacked = jnp.stack(cols, axis=1)  # [f, SUB, LANE]
     return [stacked[k] for k in range(f)]
 
@@ -499,7 +516,20 @@ def _kernel_segsum(me_ref, ml_ref, idx_ref, out_ref, *, d, ncp, exact):
         sub = jnp.concatenate([me_ref[:, s, :], ml_ref[:, s, :]], axis=0)
         i_s = idx_ref[0, s : s + 1, :]
         oh = (jax.lax.broadcasted_iota(jnp.int32, (ncp, LANE), 0) == i_s)
-        if exact:
+        if exact and sub.dtype == jnp.float32:
+            # Exact 3-pass split (see _table_rows): the one-hot side is
+            # bf16-exact, so only the value side needs the 8+8+8 mantissa
+            # split — half of HIGHEST's 6 MXU passes, bitwise-equal result.
+            hi = sub.astype(jnp.bfloat16).astype(jnp.float32)
+            r = sub - hi
+            mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+            ohf = oh.astype(jnp.float32)
+            dn = (((1,), (1,)), ((), ()))
+            for part in (hi, mid, r - mid):
+                acc = acc + jax.lax.dot_general(
+                    part, ohf, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+        elif exact:
             acc = acc + jax.lax.dot_general(
                 sub, oh.astype(sub.dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=acc.dtype,

@@ -4,6 +4,11 @@ f32 MXU precision, layout assignment).
 
 Run with:  GBP_ON_TPU=1 python -m pytest tests/tpu -q
 
+Budget ~12 min cold: most of the wall clock is XLA/Mosaic compiles (the
+shard_map halo test alone is ~4 min); warm caches cut it to ~6 min.  Run
+test_onchip.py::test_halo_cm_on_chip_single_mesh separately if a CI slot
+is tight.
+
 Skipped entirely unless a non-CPU jax backend is present (so the normal CPU
 suite ignores this directory)."""
 import os
