@@ -1,0 +1,277 @@
+"""Incremental (online) bundle adjustment: grow the graph without recompiling.
+
+The reference is batch-only (load a BAL file, iterate — SURVEY.md §3.1), but
+the system it prototypes is an incremental Spatial-AI backend (arXiv:
+1910.14139 §5: keyframes and landmarks arrive continuously).  Under XLA,
+naive graph growth is a new array shape per frame — and a fresh ~10 s
+compile, which is unusable for serving.
+
+This module keeps every array at a FIXED capacity and grows the graph by
+value only:
+
+  * cameras / landmarks / observations live in capacity-sized arrays with an
+    active prefix (counts are traced scalars in the pytree);
+  * inactive factor rows are `valid=False` (inert: the sweep masks them —
+    same mechanism as ELL clone padding); inactive variables hold an
+    identity prior so their belief solves stay finite;
+  * `add_frame` writes one camera + up to `chunk` observations (+ new
+    landmarks) via `lax.dynamic_update_slice` at traced offsets and
+    linearizes JUST the new rows — a jitted update with static shapes;
+  * sweeps run on the same static-shape graph, so the whole serving loop
+    (add frame -> sweeps -> read out) compiles exactly once.
+
+The generic sweep path is used (plain row layout: adjacency changes as
+observations arrive, so the ELL/CM layouts — which bake the grouping in —
+stay a batch-mode optimization; re-layout + `sweep_cm.prepare` on a
+snapshot remains available for offline refinement).
+"""
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gbp_tpu.core.graph import FactorBlock, Graph, VariableBlock
+from gbp_tpu.core.sweep import (
+    GBPConfig,
+    GBPState,
+    FactorState,
+    VariableState,
+    f32_exact,
+)
+from gbp_tpu.core import sweep as sweep_mod
+from gbp_tpu.factors import reprojection
+
+
+class OnlineBA(flax.struct.PyTreeNode):
+    """Fixed-capacity BA problem + GBP state (a pytree; update functionally)."""
+
+    graph: Graph
+    state: GBPState
+    n_cams: jnp.ndarray  # [] int32 active cameras
+    n_lmks: jnp.ndarray  # [] int32 active landmarks
+    n_obs: jnp.ndarray  # [] int32 active observations
+    chunk: int = flax.struct.field(pytree_node=False, default=0)
+    # New-landmark prior precision.  Streaming needs a firmer prior than
+    # batch BA: a landmark seen from ONE view has unobservable depth, and
+    # with a weak prior its belief mean wanders (to negative depth in the
+    # worst case, which NaNs the next frame's reprojection in f32).  The
+    # prior is relaxed per-frame once multi-view coverage accumulates —
+    # the streaming analogue of the reference's prior annealing.
+    lmk_prior_prec: float = flax.struct.field(pytree_node=False, default=50.0)
+
+
+def create(cam_capacity: int, lmk_capacity: int, obs_capacity: int,
+           chunk: int = 256, pix_sigma_n: float = 0.002,
+           lmk_prior_prec: float = 50.0,
+           dtype=jnp.float32) -> OnlineBA:
+    """Empty fixed-capacity problem (normalized-coordinate reprojection).
+
+    pix_sigma_n: measurement sigma in NORMALIZED image coordinates
+    (pixel sigma / focal length).  chunk: max observations per add_frame
+    call (the static batch size of the update)."""
+    ftype = reprojection.reprojection_normalized()
+    d_c, d_l, zd = 6, 3, 2
+    cams = VariableBlock(
+        prior_eta=jnp.zeros((cam_capacity, d_c), dtype),
+        prior_lam=jnp.tile(jnp.eye(d_c, dtype=dtype), (cam_capacity, 1, 1)),
+        name="cam")
+    lmks = VariableBlock(
+        prior_eta=jnp.zeros((lmk_capacity, d_l), dtype),
+        prior_lam=jnp.tile(jnp.eye(d_l, dtype=dtype), (lmk_capacity, 1, 1)),
+        name="lmk")
+    fb = FactorBlock(
+        adj=(jnp.zeros(obs_capacity, jnp.int32),
+             jnp.zeros(obs_capacity, jnp.int32)),
+        z=jnp.zeros((obs_capacity, zd), dtype),
+        prec=jnp.full((obs_capacity, zd), 1.0 / pix_sigma_n**2, dtype),
+        valid=jnp.zeros(obs_capacity, bool),
+        ftype=ftype, vblocks=(0, 1), dofs=(d_c, d_l),
+        name="reproj")
+    graph = Graph(vblocks=(cams, lmks), fblocks=(fb,))
+    t = d_c + d_l
+    state = GBPState(
+        v=(VariableState(eta=cams.prior_eta, lam=cams.prior_lam,
+                         mean=jnp.zeros((cam_capacity, d_c), dtype)),
+           VariableState(eta=lmks.prior_eta, lam=lmks.prior_lam,
+                         mean=jnp.zeros((lmk_capacity, d_l), dtype))),
+        f=(FactorState(
+            linpoint=jnp.zeros((obs_capacity, t), dtype),
+            jac=jnp.zeros((obs_capacity, zd, t), dtype),
+            r0=jnp.zeros((obs_capacity, zd), dtype),
+            msg_eta=(jnp.zeros((obs_capacity, d_c), dtype),
+                     jnp.zeros((obs_capacity, d_l), dtype)),
+            msg_lam=(jnp.zeros((obs_capacity, d_c, d_c), dtype),
+                     jnp.zeros((obs_capacity, d_l, d_l), dtype)),
+            since_relin=jnp.zeros(obs_capacity, jnp.int32)),),
+    )
+    return OnlineBA(graph=graph, state=state,
+                    n_cams=jnp.int32(0), n_lmks=jnp.int32(0),
+                    n_obs=jnp.int32(0), chunk=chunk,
+                    lmk_prior_prec=lmk_prior_prec)
+
+
+def _set_rows(a, rows, start):
+    return jax.lax.dynamic_update_slice(
+        a, rows.astype(a.dtype), (start,) + (0,) * (a.ndim - 1))
+
+
+@jax.jit
+@f32_exact
+def add_frame(ob: OnlineBA, cam_mean, cam_prior_prec,
+              obs_cam_local, obs_lmk, obs_uv, obs_count,
+              new_lmk_means, new_lmk_count) -> OnlineBA:
+    """Append one camera, `new_lmk_count` landmarks, and `obs_count`
+    observations (arrays padded to the static chunk size).
+
+    obs_cam_local: [chunk] 0 for the NEW camera, else (negative) offset from
+    it — so callers can reference recent cameras without knowing absolute
+    ids.  obs_lmk: [chunk] landmark ids, where id >= current n_lmks refers
+    to the new landmarks appended by this same call.  All jitted: one
+    compile for the whole serving loop."""
+    g = ob.graph
+    fb = g.fblocks[0]
+    dt = fb.z.dtype
+    ci = ob.n_cams
+    chunk = ob.chunk
+
+    # --- camera ---------------------------------------------------------
+    cam_mean = cam_mean.astype(dt)
+    pp = jnp.broadcast_to(jnp.asarray(cam_prior_prec, dt), (6,))
+    cams = g.vblocks[0]
+    cams = cams.replace(
+        prior_eta=jax.lax.dynamic_update_slice(
+            cams.prior_eta, (pp * cam_mean)[None], (ci, jnp.int32(0))),
+        prior_lam=jax.lax.dynamic_update_slice(
+            cams.prior_lam, jnp.diag(pp)[None], (ci, jnp.int32(0), jnp.int32(0))))
+    v0 = ob.state.v[0]
+    v0 = v0.replace(
+        eta=jax.lax.dynamic_update_slice(v0.eta, (pp * cam_mean)[None], (ci, jnp.int32(0))),
+        lam=jax.lax.dynamic_update_slice(v0.lam, jnp.diag(pp)[None], (ci, jnp.int32(0), jnp.int32(0))),
+        mean=jax.lax.dynamic_update_slice(v0.mean, cam_mean[None], (ci, jnp.int32(0))))
+
+    # --- landmarks ------------------------------------------------------
+    li = ob.n_lmks
+    lmks = g.vblocks[1]
+    new_lmk_means = new_lmk_means.astype(dt)  # [chunk, 3] padded
+    lmk_rows = jnp.arange(new_lmk_means.shape[0])
+    lmk_on = lmk_rows < new_lmk_count
+    # Targets are the contiguous block li..li+chunk; padded rows write their
+    # CURRENT value back (a no-op), so nothing outside the active prefix is
+    # ever clobbered.  Targets are distinct as long as li + chunk <= capacity
+    # (keep `chunk` of landmark headroom).
+    tgt = jnp.minimum(li + lmk_rows, lmks.count - 1)
+    lpp = jnp.asarray(ob.lmk_prior_prec, dt)
+
+    def put(a, new_rows):
+        cur = a[tgt]
+        sel = lmk_on.reshape((-1,) + (1,) * (a.ndim - 1))
+        return a.at[tgt].set(jnp.where(sel, new_rows.astype(a.dtype), cur))
+
+    lmk_eta = lpp * new_lmk_means
+    lmk_lam = jnp.tile(jnp.eye(3, dtype=dt)[None], (chunk, 1, 1)) * lpp
+    lmks = lmks.replace(prior_eta=put(lmks.prior_eta, lmk_eta),
+                        prior_lam=put(lmks.prior_lam, lmk_lam))
+    v1 = ob.state.v[1]
+    v1 = v1.replace(eta=put(v1.eta, lmk_eta),
+                    lam=put(v1.lam, lmk_lam),
+                    mean=put(v1.mean, new_lmk_means))
+
+    # --- observations ---------------------------------------------------
+    oi = ob.n_obs
+    rows = jnp.arange(chunk)
+    on = rows < obs_count
+    cam_ids = (ci + obs_cam_local).astype(jnp.int32)
+    lmk_ids = obs_lmk.astype(jnp.int32)
+    # Same no-op-write scheme as the landmarks (needs `chunk` of observation
+    # headroom so targets stay distinct).
+    row_tgt = jnp.minimum(oi + rows, fb.z.shape[0] - 1)
+
+    def putr(a, new_rows):
+        cur = a[row_tgt]
+        sel = on.reshape((-1,) + (1,) * (a.ndim - 1))
+        return a.at[row_tgt].set(jnp.where(sel, new_rows.astype(a.dtype), cur))
+
+    fb = fb.replace(
+        adj=(putr(fb.adj[0], cam_ids), putr(fb.adj[1], lmk_ids)),
+        z=putr(fb.z, obs_uv.astype(dt)),
+        valid=putr(fb.valid, jnp.ones_like(on)),
+    )
+    g = g.replace(vblocks=(cams, lmks), fblocks=(fb,))
+
+    # linearize ONLY the new rows at the current means
+    x_new = jnp.concatenate(
+        [v0.mean[jnp.where(on, cam_ids, 0)], v1.mean[jnp.where(on, lmk_ids, 0)]],
+        axis=-1)
+    chunk_fb = fb.replace(
+        adj=(cam_ids, lmk_ids),
+        z=jnp.where(on[:, None], obs_uv.astype(dt), 0.0),
+        prec=fb.prec[:chunk], valid=None)
+    jac, r0 = sweep_mod.linearize_block(chunk_fb, x_new)
+    fs = ob.state.f[0]
+    zero = jnp.zeros((chunk,), dt)
+    fs = fs.replace(
+        linpoint=putr(fs.linpoint, x_new),
+        jac=putr(fs.jac, jac),
+        r0=putr(fs.r0, r0),
+        msg_eta=(putr(fs.msg_eta[0], jnp.zeros((chunk, 6), dt)),
+                 putr(fs.msg_eta[1], jnp.zeros((chunk, 3), dt))),
+        msg_lam=(putr(fs.msg_lam[0], jnp.zeros((chunk, 6, 6), dt)),
+                 putr(fs.msg_lam[1], jnp.zeros((chunk, 3, 3), dt))),
+        since_relin=putr(fs.since_relin, jnp.zeros(chunk, jnp.int32)),
+    )
+    state = GBPState(v=(v0, v1), f=(fs,))
+    return ob.replace(graph=g, state=state,
+                      n_cams=ci + 1,
+                      n_lmks=li + new_lmk_count.astype(jnp.int32),
+                      n_obs=oi + obs_count.astype(jnp.int32))
+
+
+@jax.jit
+@f32_exact
+def weaken_landmark_priors(ob: OnlineBA, factor=0.5, floor=1.0) -> OnlineBA:
+    """Scale every ACTIVE landmark's prior by `factor`, clamped so the
+    diagonal never drops below `floor` — called once per frame this gives
+    each landmark an age-dependent annealed prior: firm while single-view,
+    relaxing as multi-view coverage accumulates (the streaming analogue of
+    the reference's weaken_priors schedule)."""
+    lmks = ob.graph.vblocks[1]
+    dt = lmks.prior_eta.dtype
+    on = jnp.arange(lmks.count) < ob.n_lmks
+    diag = jnp.diagonal(lmks.prior_lam, axis1=1, axis2=2)
+    # per-variable scale: factor, but not past the floor
+    cur = jnp.max(diag, axis=1)
+    s = jnp.where(on, jnp.maximum(jnp.asarray(factor, dt),
+                                  floor / jnp.maximum(cur, 1e-20)), 1.0)
+    s = jnp.minimum(s, 1.0).astype(dt)
+    return ob.replace(graph=ob.graph.replace(vblocks=(
+        ob.graph.vblocks[0],
+        lmks.replace(prior_eta=lmks.prior_eta * s[:, None],
+                     prior_lam=lmks.prior_lam * s[:, None, None]))))
+
+
+@functools.partial(jax.jit, static_argnums=2)
+@f32_exact
+def run(ob: OnlineBA, cfg: GBPConfig, n_iters: int) -> OnlineBA:
+    """n_iters synchronous sweeps on the current (masked) graph."""
+    state = sweep_mod.run(ob.graph, ob.state, cfg, n_iters)
+    return ob.replace(state=state)
+
+
+def snapshot(ob: OnlineBA):
+    """Host-side copy of the ACTIVE subproblem (for offline refinement with
+    the batch/CM paths, metrics, or export)."""
+    nc = int(ob.n_cams)
+    nl = int(ob.n_lmks)
+    no = int(ob.n_obs)
+    fb = ob.graph.fblocks[0]
+    return dict(
+        cam_means=np.asarray(ob.state.v[0].mean[:nc]),
+        lmk_means=np.asarray(ob.state.v[1].mean[:nl]),
+        cam_ids=np.asarray(fb.adj[0][:no]),
+        lmk_ids=np.asarray(fb.adj[1][:no]),
+        z=np.asarray(fb.z[:no]),
+    )
