@@ -91,11 +91,12 @@ def measure_tpu(sim):
         ares.append(float(ba.avg_reprojection_error(
             graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"])))
     final = min(ares)
-    # Converged only if the run actually PLATEAUED inside the horizon (last
-    # chunk within 2% of the best) — otherwise min(ares) trivially satisfies
-    # its own test and a still-descending/oscillating run would claim a
-    # bogus convergence time.
-    if ares[-1] <= 1.02 * final:
+    # Converged only if the run actually PLATEAUED inside the horizon: the
+    # last chunk must be within 2% of the best AND the final slope must be
+    # flat (a monotonically descending run always has ares[-1] == min, so
+    # the min test alone cannot reject it).
+    flat = (ares[-2] - ares[-1]) <= 0.02 * max(ares[-2], 1e-12)
+    if ares[-1] <= 1.02 * final and flat:
         conv_i = next(i for i, a in enumerate(ares) if a <= 1.02 * final)
         t_conv = times[conv_i]
         log(f"[bench] convergence: ARE/25-sweep chunk = "

@@ -110,13 +110,22 @@ def _so3_log_batch(r):
     return np.asarray(jax.vmap(so3_log)(jnp.asarray(r)))
 
 
+def _dedupe_last(ids, rows):
+    """Keep the LAST definition of each vertex id (the Python parser's dict
+    semantics) and return (dense-checked ids, rows in id order)."""
+    order = np.argsort(ids, kind="stable")
+    ids_s, rows_s = ids[order], rows[order]
+    last = np.ones(ids_s.size, bool)
+    last[:-1] = ids_s[1:] != ids_s[:-1]
+    ids_u, rows_u = ids_s[last], rows_s[last]
+    assert ids_u.tolist() == list(range(len(ids_u))), "non-dense vertex ids"
+    return rows_u
+
+
 def _assemble_native(raw):
     """Raw fastg2o rows -> the read_g2o dict (vectorized conversions)."""
     if raw["v2_id"].size:
-        order = np.argsort(raw["v2_id"])
-        ids = raw["v2_id"][order]
-        assert ids.tolist() == list(range(len(ids))), "non-dense SE2 vertex ids"
-        poses = raw["v2"][order]
+        poses = _dedupe_last(raw["v2_id"], raw["v2"])
         z = raw["e2"][:, :3]
         info = _unpack_upper_batch(raw["e2"][:, 3:9], 3)
         c, s = np.cos(z[:, 2]), np.sin(z[:, 2])
@@ -128,10 +137,7 @@ def _assemble_native(raw):
         info = np.einsum("mij,mjk,mlk->mil", a, info, a)
         return dict(kind="se2", poses=poses, edges_ij=raw["e2_ij"],
                     edges_z=z, edges_info=info)
-    order = np.argsort(raw["v3_id"])
-    ids = raw["v3_id"][order]
-    assert ids.tolist() == list(range(len(ids))), "non-dense SE3 vertex ids"
-    v3 = raw["v3"][order]
+    v3 = _dedupe_last(raw["v3_id"], raw["v3"])
     poses = np.concatenate(
         [v3[:, :3], _so3_log_batch(_quat_to_rotmat_batch(v3[:, 3:7]))], axis=1)
     e3 = raw["e3"]
@@ -163,7 +169,13 @@ def read_g2o(path):
 
         with open(path, "rb") as f:
             raw = parse_g2o_bytes(f.read())
-    except ValueError:
+    except ValueError as e:
+        import warnings
+
+        warnings.warn(
+            f"native g2o parse of {path} failed ({e}); falling back to the "
+            "slow line-by-line parser — the file likely has a malformed "
+            "VERTEX/EDGE line", stacklevel=2)
         raw = None
     if raw is not None and (raw["v2_id"].size or raw["v3_id"].size):
         return _assemble_native(raw)

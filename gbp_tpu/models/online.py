@@ -114,16 +114,35 @@ def create(cam_capacity: int, lmk_capacity: int, obs_capacity: int,
                     lmk_prior_prec=lmk_prior_prec)
 
 
-def _set_rows(a, rows, start):
-    return jax.lax.dynamic_update_slice(
-        a, rows.astype(a.dtype), (start,) + (0,) * (a.ndim - 1))
+def add_frame(ob: OnlineBA, cam_mean, cam_prior_prec,
+              obs_cam_local, obs_lmk, obs_uv, obs_count,
+              new_lmk_means, new_lmk_count, check: bool = True) -> OnlineBA:
+    """Capacity-checked wrapper around the jitted update (_add_frame_jit).
+
+    Counts are concrete between jitted calls, so overflow is caught HERE —
+    inside jit, writes past capacity would be silently dropped and the
+    counts would still advance, corrupting the map.  The check costs one
+    device round trip (it must sync the in-flight state); latency-critical
+    loops that pre-size capacity can pass check=False and audit counts
+    themselves between keyframes."""
+    if check:
+        nc, nl, no = jax.device_get((ob.n_cams, ob.n_lmks, ob.n_obs))
+        if int(nc) + 1 > ob.graph.vblocks[0].count:
+            raise ValueError("camera capacity exhausted")
+        if int(nl) + int(new_lmk_count) > ob.graph.vblocks[1].count:
+            raise ValueError("landmark capacity exhausted")
+        if int(no) + int(obs_count) > ob.graph.fblocks[0].count:
+            raise ValueError("observation capacity exhausted")
+    return _add_frame_jit(ob, cam_mean, cam_prior_prec, obs_cam_local,
+                          obs_lmk, obs_uv, obs_count, new_lmk_means,
+                          new_lmk_count)
 
 
 @jax.jit
 @f32_exact
-def add_frame(ob: OnlineBA, cam_mean, cam_prior_prec,
-              obs_cam_local, obs_lmk, obs_uv, obs_count,
-              new_lmk_means, new_lmk_count) -> OnlineBA:
+def _add_frame_jit(ob: OnlineBA, cam_mean, cam_prior_prec,
+                   obs_cam_local, obs_lmk, obs_uv, obs_count,
+                   new_lmk_means, new_lmk_count) -> OnlineBA:
     """Append one camera, `new_lmk_count` landmarks, and `obs_count`
     observations (arrays padded to the static chunk size).
 
@@ -159,17 +178,14 @@ def add_frame(ob: OnlineBA, cam_mean, cam_prior_prec,
     new_lmk_means = new_lmk_means.astype(dt)  # [chunk, 3] padded
     lmk_rows = jnp.arange(new_lmk_means.shape[0])
     lmk_on = lmk_rows < new_lmk_count
-    # Targets are the contiguous block li..li+chunk; padded rows write their
-    # CURRENT value back (a no-op), so nothing outside the active prefix is
-    # ever clobbered.  Targets are distinct as long as li + chunk <= capacity
-    # (keep `chunk` of landmark headroom).
-    tgt = jnp.minimum(li + lmk_rows, lmks.count - 1)
+    # Padded rows target index `capacity` — out of bounds, so the scatter
+    # DROPS them (JAX's default scatter mode): nothing outside the active
+    # prefix is ever touched and active targets are all distinct.
+    tgt = jnp.where(lmk_on, li + lmk_rows, lmks.count)
     lpp = jnp.asarray(ob.lmk_prior_prec, dt)
 
     def put(a, new_rows):
-        cur = a[tgt]
-        sel = lmk_on.reshape((-1,) + (1,) * (a.ndim - 1))
-        return a.at[tgt].set(jnp.where(sel, new_rows.astype(a.dtype), cur))
+        return a.at[tgt].set(new_rows.astype(a.dtype))
 
     lmk_eta = lpp * new_lmk_means
     lmk_lam = jnp.tile(jnp.eye(3, dtype=dt)[None], (chunk, 1, 1)) * lpp
@@ -186,14 +202,11 @@ def add_frame(ob: OnlineBA, cam_mean, cam_prior_prec,
     on = rows < obs_count
     cam_ids = (ci + obs_cam_local).astype(jnp.int32)
     lmk_ids = obs_lmk.astype(jnp.int32)
-    # Same no-op-write scheme as the landmarks (needs `chunk` of observation
-    # headroom so targets stay distinct).
-    row_tgt = jnp.minimum(oi + rows, fb.z.shape[0] - 1)
+    # Same dropped-out-of-bounds scheme as the landmarks.
+    row_tgt = jnp.where(on, oi + rows, fb.z.shape[0])
 
     def putr(a, new_rows):
-        cur = a[row_tgt]
-        sel = on.reshape((-1,) + (1,) * (a.ndim - 1))
-        return a.at[row_tgt].set(jnp.where(sel, new_rows.astype(a.dtype), cur))
+        return a.at[row_tgt].set(new_rows.astype(a.dtype))
 
     fb = fb.replace(
         adj=(putr(fb.adj[0], cam_ids), putr(fb.adj[1], lmk_ids)),
@@ -212,7 +225,6 @@ def add_frame(ob: OnlineBA, cam_mean, cam_prior_prec,
         prec=fb.prec[:chunk], valid=None)
     jac, r0 = sweep_mod.linearize_block(chunk_fb, x_new)
     fs = ob.state.f[0]
-    zero = jnp.zeros((chunk,), dt)
     fs = fs.replace(
         linpoint=putr(fs.linpoint, x_new),
         jac=putr(fs.jac, jac),

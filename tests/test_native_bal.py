@@ -74,3 +74,22 @@ def test_native_g2o_matches_python_parser(tmp_path):
     assert a["kind"] == b["kind"] == "se3"
     for k in ("poses", "edges_ij", "edges_z", "edges_info"):
         np.testing.assert_allclose(a[k], b[k], rtol=1e-9, atol=1e-9)
+
+
+def test_native_g2o_duplicate_vertex_last_wins(tmp_path):
+    """Duplicate vertex ids keep the LAST definition in both parsers (the
+    Python parser's dict semantics)."""
+    from gbp_tpu.io import g2o as g2oio
+
+    p = tmp_path / "dup.g2o"
+    p.write_text(
+        "VERTEX_SE2 0 0 0 0\n"
+        "VERTEX_SE2 1 1 0 0\n"
+        "VERTEX_SE2 1 2 0 0\n"
+        "EDGE_SE2 0 1 1 0 0 1 0 0 1 0 1\n")
+    import numpy as np
+
+    a = g2oio.read_g2o(str(p))
+    b = g2oio._read_g2o_python(str(p))
+    np.testing.assert_allclose(a["poses"], b["poses"])
+    assert a["poses"][1, 0] == 2.0  # the later definition won

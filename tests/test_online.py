@@ -72,11 +72,13 @@ def test_online_streaming_matches_batch():
             jnp.int32(n_l),
         )
         ob = online.run(ob, cfg, 10)
+        # age-annealed landmark priors: firm on arrival, relaxed per frame
+        ob = online.weaken_landmark_priors(ob, 0.6)
     ob = online.run(ob, cfg, 40)
 
     # one compile for add_frame across the whole stream; run compiles once
     # per distinct static n_iters (10 and 40 here)
-    assert online.add_frame._cache_size() == 1
+    assert online._add_frame_jit._cache_size() == 1
     assert online.run._cache_size() == 2
     assert int(ob.n_cams) == 8 and int(ob.n_obs) == sim["obs"].shape[0]
 
@@ -136,3 +138,19 @@ def test_online_snapshot_roundtrip():
     assert snap["cam_means"].shape == (5, 6)
     assert snap["z"].shape[0] == sim["obs"].shape[0]
     assert np.isfinite(snap["lmk_means"]).all()
+
+
+def test_online_capacity_guard():
+    import pytest
+
+    ob = online.create(cam_capacity=1, lmk_capacity=140, obs_capacity=300,
+                       chunk=128)
+    ob = online.add_frame(
+        ob, jnp.zeros(6), jnp.ones(6), jnp.zeros(128, jnp.int32),
+        jnp.zeros(128, jnp.int32), jnp.zeros((128, 2)), jnp.int32(4),
+        jnp.zeros((128, 3)), jnp.int32(4))
+    with pytest.raises(ValueError, match="camera capacity"):
+        online.add_frame(
+            ob, jnp.zeros(6), jnp.ones(6), jnp.zeros(128, jnp.int32),
+            jnp.zeros(128, jnp.int32), jnp.zeros((128, 2)), jnp.int32(4),
+            jnp.zeros((128, 3)), jnp.int32(4))

@@ -105,7 +105,6 @@ def test_halo_cm_on_chip_single_mesh():
 
     from gbp_tpu.parallel import halo, halo_cm
 
-    sim, graph, means = None, None, None
     sim = ba.simulate(n_cams=8, n_lmks=150, seed=0)
     g_none, m_none = ba.build(sim, layout="none")
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("graph",))
