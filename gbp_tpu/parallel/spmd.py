@@ -16,9 +16,11 @@ collectives"]:
     reduce — no scatter on the hot path), and the partials are combined with
     one `jax.lax.psum` over the mesh axis — the halo exchange in all-reduce
     form (a variable touched by one chip contributes zeros elsewhere).
-    Locality-compacted ppermute neighbor exchange is a planned refinement;
-    the collective volume here is already O(total variable state), not
-    O(factor messages).
+    Collective volume is O(total variable state) and beliefs are replicated,
+    so this path does NOT scale memory with the mesh — parallel/halo.py is
+    the owner-sharded path with boundary-only ppermute/all_gather exchange;
+    this simpler form remains for small graphs and as a reference
+    implementation.
 
 Everything runs inside one jitted `shard_map`, so XLA overlaps the factor
 math with the ICI all-reduce where possible.
