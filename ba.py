@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--huber", type=float, default=None,
                    help="Huber Mahalanobis threshold in std-devs (None = off)")
     p.add_argument("--pix_sigma", type=float, default=1.0)
+    p.add_argument("--prior_prec", type=float, default=1.0,
+                   help="initial camera/landmark prior precision (before the "
+                        "weakening schedule). Chain-structured scenes "
+                        "(corridor_sim) need ~1000 or GBP oscillates; the "
+                        "schedule anneals it back down")
     # Prior schedule (arXiv:2003.03134 §4 'prior scheduling').
     p.add_argument("--weaken_every", type=int, default=10,
                    help="weaken non-anchor priors every N sweeps")
@@ -80,15 +85,17 @@ def main():
 
         problem = balio.prune(balio.read_bal(args.bal_file))
         sim = balio.to_sim(problem, pix_sigma=args.pix_sigma)
-        graph, means, px_scale = ba.build_bal(sim, huber=args.huber,
-                                              layout=layout, dtype=dtype)
+        graph, means, px_scale = ba.build_bal(
+            sim, huber=args.huber, layout=layout, dtype=dtype,
+            cam_prior_prec=args.prior_prec, lmk_prior_prec=args.prior_prec)
         print(f"loaded {args.bal_file}: {sim['cam_init'].shape[0]} cams, "
               f"{sim['lmk_init'].shape[0]} landmarks, {sim['obs'].shape[0]} observations")
     else:
         sim = ba.simulate(n_cams=args.n_cams, n_lmks=args.n_lmks,
                           pix_sigma=args.pix_sigma, seed=args.seed)
         graph, means = ba.build(sim, huber=args.huber, layout=layout,
-                                dtype=dtype)
+                                dtype=dtype, cam_prior_prec=args.prior_prec,
+                                lmk_prior_prec=args.prior_prec)
         k = sim["k"]
         print(f"simulated scene: {args.n_cams} cams, {sim['lmk_init'].shape[0]} "
               f"landmarks, {sim['obs'].shape[0]} observations")

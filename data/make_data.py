@@ -53,6 +53,35 @@ def make_bal(path, n_cams, n_lmks, f=500.0, k1=-0.05, k2=0.01, pix_sigma=1.0, se
           f"{obs.shape[0]} observations")
 
 
+def make_corridor_bal(path, n_cams=64, lmks_per_cam=30, window=3,
+                      f=500.0, pix_sigma=1.0, seed=7):
+    """BAL file from the corridor/street scene (visibility locality — the
+    city-scale partitioning regime; see ba.simulate_corridor).  Solve with
+    the prior-annealing schedule: ba.py handles it, but chain-structured BA
+    diverges without strong initial priors (docs/PERFORMANCE.md)."""
+    sim = ba.simulate_corridor(n_cams=n_cams, lmks_per_cam=lmks_per_cam,
+                               window=window, pix_sigma=pix_sigma, seed=seed,
+                               k=(f, f, 320.0, 240.0))
+    # BAL convention: p = -Xc.xy / Xc.z, pix = f * p (no distortion).
+    import jax.numpy as jnp
+
+    cam_t, lmk_t = sim["cam_truth"], sim["lmk_truth"]
+    cam_ids, lmk_ids = sim["cam_ids"], sim["lmk_ids"]
+    rng = np.random.default_rng(seed + 1)
+    obs = np.empty((cam_ids.size, 2))
+    for c in np.unique(cam_ids):
+        sel = cam_ids == c
+        r = np.asarray(so3_exp(jnp.asarray(cam_t[c, :3])))
+        xc = lmk_t[lmk_ids[sel]] @ r.T + cam_t[c, 3:]
+        obs[sel] = -f * xc[:, :2] / xc[:, 2:3]
+    obs += pix_sigma * rng.standard_normal(obs.shape)
+    cam_params = np.concatenate(
+        [sim["cam_init"], np.tile([f, 0.0, 0.0], (n_cams, 1))], axis=1)
+    write_bal(path, cam_params, sim["lmk_init"], obs, cam_ids, lmk_ids)
+    print(f"wrote {path}: {n_cams} cams, {sim['lmk_init'].shape[0]} points, "
+          f"{obs.shape[0]} observations (corridor)")
+
+
 def make_g2o(path, n_poses, seed=5):
     sim = pose_graph.simulate_manhattan(n_poses=n_poses, seed=seed)
     ij = np.concatenate([sim["odom_ij"], sim["loop_ij"]], axis=0)
@@ -70,3 +99,4 @@ if __name__ == "__main__":
     make_bal(os.path.join(HERE, "ladybug49_sim.txt.gz"), n_cams=49, n_lmks=2400)
     make_bal(os.path.join(HERE, "toy_ba.txt"), n_cams=6, n_lmks=80, seed=11)
     make_g2o(os.path.join(HERE, "manhattan_sim.g2o"), n_poses=500)
+    make_corridor_bal(os.path.join(HERE, "corridor_sim.txt.gz"))
