@@ -52,6 +52,9 @@ def parse_args():
     p.add_argument("--n_chips", type=int, default=1,
                    help="partition the graph over the first N devices "
                         "(owner-sharded halo SPMD, gbp_tpu.parallel.halo)")
+    p.add_argument("--dtype", default="f32", choices=("f32", "f64"),
+                   help="f64 for research-grade parity runs (CPU); forced "
+                        "automatically by --message_form schur")
     return p.parse_args()
 
 
@@ -71,6 +74,9 @@ def main():
     layout = "none" if args.n_chips > 1 else "ell"
     import jax.numpy as jnp
     dtype = jnp.float32
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
     if args.message_form == "schur":
         # The info-form Schur marginalization cancels catastrophically in
         # f32 (that is why the covariance form exists); force f64.
