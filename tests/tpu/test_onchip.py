@@ -121,3 +121,23 @@ def test_halo_cm_on_chip_single_mesh():
     for vbi in range(2):
         np.testing.assert_allclose(
             got[vbi], np.asarray(ref.v[vbi].mean), rtol=2e-4, atol=2e-4)
+
+
+def test_bal_distortion_cm_on_chip():
+    """The BAL camera model (z-negation + radial distortion) runs through
+    the fused CM kernels on real silicon — the one component-form factor
+    with in-kernel distortion math (ops/comp_factors.py)."""
+    import numpy as np
+
+    from gbp_tpu.io import bal as balio
+
+    problem = balio.prune(balio.read_bal("data/toy_ba.txt"))
+    sim = balio.to_sim(problem, pix_sigma=1.0)
+    graph, means, px_scale = ba.build_bal(sim)
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    assert cmg is not None and cmg.fb.ftype.name == "bal_reprojection_normalized"
+    st = sweep_cm.init_state(cmg, means)
+    st = jax.jit(sweep_cm.run, static_argnums=3)(cmg, st, CFG, 30)
+    are = float(ba.avg_reprojection_error(
+        graph, sweep_cm.to_gbp_state(cmg, st), px_scale=px_scale))
+    assert np.isfinite(are) and are < 3.0, are
