@@ -169,3 +169,103 @@ def run_random(graph: Graph, state: GBPState, cfg: GBPConfig,
         return sweep(graph, s, cfg, active=masks)
 
     return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+# --------------------------------------------------------------------------
+# Component-major fast-path variants (VERDICT r2 item 5): the same wildfire /
+# priority / random schedules driving core/sweep_cm.py.  The schedule mask is
+# computed in CM layout (free ELL broadcast + one tiny mean-table take —
+# sweep_cm.expand_means) and composed with the validity mask inside
+# sweep_cm.sweep, whose kernels already honor `act` per factor.
+# --------------------------------------------------------------------------
+
+
+class CMScheduleState(flax.struct.PyTreeNode):
+    """CM-layout bookkeeping: adjacent means each factor last fired from."""
+
+    last_x: jnp.ndarray  # [tdof, T, LANE]
+
+
+def init_schedule_cm(cmg, state) -> CMScheduleState:
+    from gbp_tpu.core import sweep_cm
+
+    x = sweep_cm.expand_means(cmg, state)
+    return CMScheduleState(last_x=jnp.full_like(x, jnp.inf))
+
+
+def _scores_cm(cmg, state, sched):
+    """Urgency [T, LANE] plus the current means (reused for _advance)."""
+    from gbp_tpu.core import sweep_cm
+
+    x = sweep_cm.expand_means(cmg, state)
+    d = x - sched.last_x
+    return jnp.sqrt(jnp.sum(d * d, axis=0)), x
+
+
+@f32_exact
+def wildfire_sweep_cm(cmg, state, sched: CMScheduleState, cfg: GBPConfig,
+                      tau: float):
+    """One wildfire iteration on the CM fast path; returns (state, sched)."""
+    from gbp_tpu.core import sweep_cm
+
+    s, x = _scores_cm(cmg, state, sched)
+    active = (s > tau)[None]
+    sched = CMScheduleState(last_x=jnp.where(active, x, sched.last_x))
+    return sweep_cm.sweep(cmg, state, cfg, active=active), sched
+
+
+@f32_exact
+def priority_sweep_cm(cmg, state, sched: CMScheduleState, cfg: GBPConfig,
+                      frac: float):
+    """One top-k priority iteration on the CM fast path (static `frac`)."""
+    from gbp_tpu.core import sweep_cm
+
+    s, x = _scores_cm(cmg, state, sched)
+    fb = cmg.fb
+    n_real = fb.n_valid if fb.n_valid is not None else fb.count
+    s = jnp.where(cmg.act[0] > 0.5, s, -jnp.inf)
+    k = max(1, min(int(frac * n_real), cmg.mp))
+    thresh = jax.lax.top_k(s.reshape(-1), k)[0][-1]
+    active = (s >= thresh)[None]
+    sched = CMScheduleState(last_x=jnp.where(active, x, sched.last_x))
+    return sweep_cm.sweep(cmg, state, cfg, active=active), sched
+
+
+@f32_exact
+def run_wildfire_cm(cmg, state, cfg: GBPConfig, n_iters: int, tau: float):
+    sched = init_schedule_cm(cmg, state)
+
+    def body(_, carry):
+        s, sc = carry
+        return wildfire_sweep_cm(cmg, s, sc, cfg, tau)
+
+    state, _ = jax.lax.fori_loop(0, n_iters, body, (state, sched))
+    return state
+
+
+@f32_exact
+def run_priority_cm(cmg, state, cfg: GBPConfig, n_iters: int, frac: float):
+    sched = init_schedule_cm(cmg, state)
+
+    def body(_, carry):
+        s, sc = carry
+        return priority_sweep_cm(cmg, s, sc, cfg, frac)
+
+    state, _ = jax.lax.fori_loop(0, n_iters, body, (state, sched))
+    return state
+
+
+@f32_exact
+def run_random_cm(cmg, state, cfg: GBPConfig, n_iters: int, keep_prob: float,
+                  key):
+    """Random factor dropout on the CM fast path (message-loss robustness,
+    arXiv:2107.02308 §3.5)."""
+    from gbp_tpu.core import sweep_cm
+
+    def body(i, s):
+        mask = jax.random.bernoulli(
+            jax.random.fold_in(key, i), keep_prob,
+            (1,) + cmg.act.shape[1:])
+        return sweep_cm.sweep(cmg, s, cfg, active=mask)
+
+    return jax.lax.fori_loop(0, n_iters, body, state)

@@ -243,6 +243,31 @@ def _expand_ell(cmg: CMGraph, vs: VariableState):
     return cm[:d], cm[d : d + d2], cm[d + d2 :]
 
 
+def expand_means(cmg: CMGraph, state: CMState) -> jnp.ndarray:
+    """Adjacent belief means per factor in CM layout [tdof, T, LANE]
+    (slot-0 components first).  Used by the schedule variants
+    (core/schedules.py) to compute per-factor urgency without running the
+    full belief expansion: the ELL slot is a free broadcast-reshape, the
+    gathered slot one trailing-axis take of the tiny mean table."""
+    fb = cmg.fb
+    e = fb.ell_slot
+    vs_e = state.v[fb.vblocks[e]]
+    vs_g = state.v[fb.vblocks[1 - e]]
+    deg = fb.ell_deg
+    t_tiles = cmg.mp // LANE
+    me = vs_e.mean
+    if cmg.nv > me.shape[0]:
+        me = jnp.concatenate(
+            [me, jnp.zeros((cmg.nv - me.shape[0], me.shape[1]), me.dtype)])
+    cm_e = jnp.broadcast_to(
+        jnp.swapaxes(me, 0, 1)[:, :, None], (me.shape[1], cmg.nv, deg)
+    ).reshape(me.shape[1], t_tiles, LANE)
+    cm_g = jnp.take(jnp.swapaxes(vs_g.mean, 0, 1), cmg.gidx_rm,
+                    axis=1).reshape(vs_g.mean.shape[1], t_tiles, LANE)
+    m0, m1 = (cm_e, cm_g) if e == 0 else (cm_g, cm_e)
+    return jnp.concatenate([m0, m1], axis=0)
+
+
 def _expand_gather(cmg: CMGraph, vs: VariableState):
     """Gathered-slot beliefs -> CM via one wide-row gather (tiny table)."""
     d = vs.eta.shape[1]
@@ -258,8 +283,15 @@ def _expand_gather(cmg: CMGraph, vs: VariableState):
 
 
 @f32_exact
-def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig) -> CMState:
-    """One synchronous GBP iteration on resident-CM state."""
+def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
+          active: jnp.ndarray | None = None) -> CMState:
+    """One synchronous GBP iteration on resident-CM state.
+
+    active: optional CM-layout [1, T, LANE] (or row-major [mp]) factor mask
+    for wildfire/priority schedules (core/schedules.py CM variants);
+    inactive factors keep their previous messages and skip relinearization —
+    the kernels' `act` operand already implements exactly this, so the
+    schedule mask simply composes with the validity mask."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
     fb = cmg.fb
@@ -270,6 +302,10 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig) -> CMState:
     dt = state.f.r0.dtype
     params = sweep_mod._kernel_params(cfg, dt)
     interp = _interpret()
+    if active is not None:
+        if active.ndim == 1:
+            active = _rm2cm(active.astype(dt)[:, None])
+        cmg = cmg.replace(act=cmg.act * active.astype(dt))
 
     vs_e = state.v[fb.vblocks[e]]
     vs_g = state.v[fb.vblocks[g]]
@@ -372,6 +408,30 @@ def run(cmg: CMGraph, state: CMState, cfg: GBPConfig, n_iters: int) -> CMState:
         return sweep(cmg, s, cfg)
 
     return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+@jax.jit
+def from_gbp_state(cmg: CMGraph, state: GBPState) -> CMState:
+    """Inverse of `to_gbp_state`: resume a checkpointed GBPState INTO the
+    resident component-major fast path (VERDICT r2 item 8 — checkpointing was
+    one-way).  Rows are re-padded to the CM tile multiple with zeros, which
+    restores the layout invariants the CM sweep relies on: padded rows carry
+    zero messages (exact ELL reshape-sum) and act=0 keeps them inert."""
+    fb = cmg.fb
+    m = fb.count
+    pad = cmg.mp - m
+    fs = state.f[0]
+    to_cm = lambda a: _rm2cm(jnp.pad(
+        a if a.ndim == 2 else a.reshape(m, -1), ((0, pad), (0, 0))))
+    fstate = CMFactorState(
+        lp=to_cm(fs.linpoint),
+        jac=to_cm(fs.jac.reshape(m, -1)),
+        r0=to_cm(fs.r0),
+        srel=to_cm(fs.since_relin[:, None].astype(fs.r0.dtype)),
+        msg_eta=tuple(to_cm(me) for me in fs.msg_eta),
+        msg_lam=tuple(to_cm(ml.reshape(m, -1)) for ml in fs.msg_lam),
+    )
+    return CMState(v=state.v, f=fstate)
 
 
 @jax.jit

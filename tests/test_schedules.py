@@ -79,3 +79,65 @@ def test_masks_shapes_and_first_sweep():
     for m, fb in zip(pr, graph.fblocks):
         k = max(1, int(0.25 * fb.count))
         assert int(m.sum()) >= k  # ties may admit more
+
+
+# --- CM fast-path variants (VERDICT r2 item 5) ----------------------------
+
+
+def _ba_ell(seed=0):
+    from gbp_tpu.models import ba
+
+    sim = ba.simulate(n_cams=6, n_lmks=50, seed=seed)
+    return ba.build(sim, dtype=jnp.float64, layout="ell"), sim
+
+
+def test_wildfire_cm_matches_generic():
+    from gbp_tpu.core import schedules, sweep_cm
+
+    (graph, means), _ = _ba_ell(seed=3)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="pallas")
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    assert cmg is not None
+    ref = jax.jit(schedules.run_wildfire, static_argnums=3)(
+        graph, init_state(graph, means), cfg, 15, 1e-4)
+    got = jax.jit(schedules.run_wildfire_cm, static_argnums=3)(
+        cmg, sweep_cm.init_state(cmg, means), cfg, 15, 1e-4)
+    for vi in range(2):
+        np.testing.assert_allclose(np.asarray(got.v[vi].mean),
+                                   np.asarray(ref.v[vi].mean),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_priority_cm_matches_generic():
+    from gbp_tpu.core import schedules, sweep_cm
+
+    (graph, means), _ = _ba_ell(seed=4)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="pallas")
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    assert cmg is not None
+    ref = jax.jit(schedules.run_priority, static_argnums=(3, 4))(
+        graph, init_state(graph, means), cfg, 20, 0.5)
+    got = jax.jit(schedules.run_priority_cm, static_argnums=(3, 4))(
+        cmg, sweep_cm.init_state(cmg, means), cfg, 20, 0.5)
+    for vi in range(2):
+        np.testing.assert_allclose(np.asarray(got.v[vi].mean),
+                                   np.asarray(ref.v[vi].mean),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_random_cm_converges():
+    from gbp_tpu.core import schedules, sweep_cm
+    from gbp_tpu.models import ba
+
+    (graph, means), sim = _ba_ell(seed=5)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="pallas")
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    state = jax.jit(schedules.run_random_cm, static_argnums=3)(
+        cmg, sweep_cm.init_state(cmg, means), cfg, 100, 0.7,
+        jax.random.key(0))
+    are = float(ba.avg_reprojection_error(
+        graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"]))
+    assert np.isfinite(are) and are < 1.5, are
