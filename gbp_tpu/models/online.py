@@ -54,6 +54,12 @@ class OnlineBA(flax.struct.PyTreeNode):
     n_cams: jnp.ndarray  # [] int32 active cameras
     n_lmks: jnp.ndarray  # [] int32 active landmarks
     n_obs: jnp.ndarray  # [] int32 active observations
+    # Marginalization info absorbed into landmark priors by evict_frames
+    # (fixed-lag smoothing).  Kept separately so weaken_landmark_priors
+    # anneals only the artificial arrival priors, never real absorbed
+    # measurement information.
+    marg_eta: jnp.ndarray | None = None  # [lmk_capacity, 3]
+    marg_lam: jnp.ndarray | None = None  # [lmk_capacity, 3, 3]
     chunk: int = flax.struct.field(pytree_node=False, default=0)
     # New-landmark prior precision.  Streaming needs a firmer prior than
     # batch BA: a landmark seen from ONE view has unobservable depth, and
@@ -110,7 +116,10 @@ def create(cam_capacity: int, lmk_capacity: int, obs_capacity: int,
     )
     return OnlineBA(graph=graph, state=state,
                     n_cams=jnp.int32(0), n_lmks=jnp.int32(0),
-                    n_obs=jnp.int32(0), chunk=chunk,
+                    n_obs=jnp.int32(0),
+                    marg_eta=jnp.zeros((lmk_capacity, d_l), dtype),
+                    marg_lam=jnp.zeros((lmk_capacity, d_l, d_l), dtype),
+                    chunk=chunk,
                     lmk_prior_prec=lmk_prior_prec)
 
 
@@ -245,24 +254,172 @@ def _add_frame_jit(ob: OnlineBA, cam_mean, cam_prior_prec,
 @jax.jit
 @f32_exact
 def weaken_landmark_priors(ob: OnlineBA, factor=0.5, floor=1.0) -> OnlineBA:
-    """Scale every ACTIVE landmark's prior by `factor`, clamped so the
-    diagonal never drops below `floor` — called once per frame this gives
+    """Scale every ACTIVE landmark's ARRIVAL prior by `factor`, clamped so
+    the diagonal never drops below `floor` — called once per frame this gives
     each landmark an age-dependent annealed prior: firm while single-view,
     relaxing as multi-view coverage accumulates (the streaming analogue of
-    the reference's weaken_priors schedule)."""
+    the reference's weaken_priors schedule).
+
+    Only the artificial arrival prior is annealed: marginalization info
+    absorbed by `evict_frames` (real measurement information) is subtracted
+    out before scaling and added back after."""
     lmks = ob.graph.vblocks[1]
     dt = lmks.prior_eta.dtype
     on = jnp.arange(lmks.count) < ob.n_lmks
-    diag = jnp.diagonal(lmks.prior_lam, axis1=1, axis2=2)
+    ann_eta = lmks.prior_eta - (0.0 if ob.marg_eta is None else ob.marg_eta)
+    ann_lam = lmks.prior_lam - (0.0 if ob.marg_lam is None else ob.marg_lam)
+    diag = jnp.diagonal(ann_lam, axis1=1, axis2=2)
     # per-variable scale: factor, but not past the floor
     cur = jnp.max(diag, axis=1)
     s = jnp.where(on, jnp.maximum(jnp.asarray(factor, dt),
                                   floor / jnp.maximum(cur, 1e-20)), 1.0)
     s = jnp.minimum(s, 1.0).astype(dt)
+    new_eta = ann_eta * s[:, None] + (0.0 if ob.marg_eta is None else ob.marg_eta)
+    new_lam = ann_lam * s[:, None, None] + (0.0 if ob.marg_lam is None else ob.marg_lam)
     return ob.replace(graph=ob.graph.replace(vblocks=(
         ob.graph.vblocks[0],
-        lmks.replace(prior_eta=lmks.prior_eta * s[:, None],
-                     prior_lam=lmks.prior_lam * s[:, None, None]))))
+        lmks.replace(prior_eta=new_eta, prior_lam=new_lam))))
+
+
+@jax.jit
+@f32_exact
+def weaken_camera_priors(ob: OnlineBA, factor=0.7, floor=30.0) -> OnlineBA:
+    """Anneal ACTIVE cameras' arrival priors by `factor` down to `floor`.
+
+    The fixed-lag twin of `weaken_landmark_priors`: each camera arrives with
+    a firm prior (new pose estimates are single-view extrapolations and the
+    corridor/chain regime oscillates under weak priors), which then relaxes
+    as multi-view constraints accumulate so the prior stops biasing the
+    window solution.  `floor` keeps enough stiffness to prevent the chain
+    oscillation; after the first eviction the absorbed marginal priors carry
+    the gauge.  Cameras receive no marginalization info (evicting a camera
+    removes its factors entirely), so the whole prior is annealable."""
+    cams = ob.graph.vblocks[0]
+    dt = cams.prior_eta.dtype
+    on = jnp.arange(cams.count) < ob.n_cams
+    diag = jnp.diagonal(cams.prior_lam, axis1=1, axis2=2)
+    cur = jnp.max(diag, axis=1)
+    s = jnp.where(on, jnp.maximum(jnp.asarray(factor, dt),
+                                  floor / jnp.maximum(cur, 1e-20)), 1.0)
+    s = jnp.minimum(s, 1.0).astype(dt)
+    return ob.replace(graph=ob.graph.replace(vblocks=(
+        cams.replace(prior_eta=cams.prior_eta * s[:, None],
+                     prior_lam=cams.prior_lam * s[:, None, None]),
+        ob.graph.vblocks[1])))
+
+
+@functools.partial(jax.jit, static_argnums=1)
+@f32_exact
+def evict_frames(ob: OnlineBA, n_evict: int) -> OnlineBA:
+    """Fixed-lag eviction: marginalize the oldest `n_evict` cameras out of
+    the window so the problem serves indefinitely (VERDICT r2 item 2; the
+    standard fixed-lag smoother of arXiv:1910.14139 §5's streaming setting).
+
+    GBP makes marginalization local: a factor's message to its landmark IS
+    the marginal of (factor potential + camera cavity) onto that landmark, so
+    evicting a camera = freezing each attached factor's current landmark-slot
+    message into the landmark's prior, then deleting the factor and the
+    camera.  Landmarks below the lowest id still referenced by a surviving
+    factor (ids are first-sighting-ordered, so old landmarks fall out of the
+    window together with their observers) are evicted with their absorbed
+    estimates.  Everything is static-shape: factor rows compact by a stable
+    argsort, camera arrays shift by the static `n_evict`, landmark arrays
+    roll by the traced eviction count — one compile per `n_evict` for the
+    whole serving loop.
+    """
+    g = ob.graph
+    fb = g.fblocks[0]
+    fs = ob.state.f[0]
+    cams, lmks = g.vblocks
+    v0, v1 = ob.state.v
+    dt = fb.z.dtype
+    ccap, lcap, ocap = cams.count, lmks.count, fb.z.shape[0]
+    d_c, d_l = 6, 3
+
+    ev = fb.valid & (fb.adj[0] < n_evict)  # factors losing their camera
+    keep = fb.valid & ~ev
+
+    # --- absorb evicted factors' landmark messages into landmark priors ----
+    w = ev.astype(dt)[:, None]
+    packed_msg = jnp.concatenate(
+        [fs.msg_eta[1], fs.msg_lam[1].reshape(ocap, -1)], axis=1) * w
+    absorbed = jax.ops.segment_sum(packed_msg, fb.adj[1], num_segments=lcap)
+    marg_eta = ob.marg_eta + absorbed[:, :d_l]
+    marg_lam = ob.marg_lam + absorbed[:, d_l:].reshape(lcap, d_l, d_l)
+    prior_eta_l = lmks.prior_eta + absorbed[:, :d_l]
+    prior_lam_l = lmks.prior_lam + absorbed[:, d_l:].reshape(lcap, d_l, d_l)
+
+    # --- compact factor rows: survivors to the front, original order -------
+    order = jnp.argsort(~keep, stable=True)
+    keep_p = keep[order]
+    kf = keep.astype(dt)[:, None]
+    # One wide-row gather for all float factor state (narrow per-array
+    # gathers serialize on TPU); dead rows are zeroed first so they are
+    # inert wherever they land (belief sums rely on zero messages).
+    wide = jnp.concatenate([
+        fs.linpoint, fs.jac.reshape(ocap, -1), fs.r0,
+        fs.msg_eta[0] * kf, fs.msg_eta[1] * kf,
+        fs.msg_lam[0].reshape(ocap, -1) * kf,
+        fs.msg_lam[1].reshape(ocap, -1) * kf,
+        fb.z,
+    ], axis=1)[order]
+    t = fs.linpoint.shape[1]
+    zd = fb.z.shape[1]
+    offs = np.cumsum([0, t, zd * t, zd, d_c, d_l, d_c * d_c, d_l * d_l, zd])
+    cut = lambda i: wide[:, offs[i]:offs[i + 1]]
+
+    adj0 = jnp.where(keep_p, jnp.maximum(fb.adj[0][order] - n_evict, 0), 0)
+    adj1_p = fb.adj[1][order]
+    # Landmark eviction threshold: the lowest id a surviving factor needs.
+    lmin = jnp.min(jnp.where(keep_p, adj1_p, ob.n_lmks))
+    adj1 = jnp.where(keep_p, jnp.maximum(adj1_p - lmin, 0), 0)
+
+    new_fb = fb.replace(
+        adj=(adj0.astype(jnp.int32), adj1.astype(jnp.int32)),
+        z=cut(7), prec=fb.prec[order], valid=keep_p)
+    new_fs = fs.replace(
+        linpoint=cut(0), jac=cut(1).reshape(ocap, zd, t), r0=cut(2),
+        msg_eta=(cut(3), cut(4)),
+        msg_lam=(cut(5).reshape(ocap, d_c, d_c), cut(6).reshape(ocap, d_l, d_l)),
+        since_relin=jnp.where(keep_p, fs.since_relin[order], 0),
+    )
+
+    # --- shift cameras down by n_evict (static slice + inert tail) ---------
+    eye_c = jnp.tile(jnp.eye(d_c, dtype=dt)[None], (n_evict, 1, 1))
+    shift = lambda a, fill: jnp.concatenate([a[n_evict:], fill], axis=0)
+    z6 = jnp.zeros((n_evict, d_c), dt)
+    new_cams = cams.replace(prior_eta=shift(cams.prior_eta, z6),
+                            prior_lam=shift(cams.prior_lam, eye_c))
+    new_v0 = VariableState(eta=shift(v0.eta, z6), lam=shift(v0.lam, eye_c),
+                           mean=shift(v0.mean, z6))
+
+    # --- roll landmarks down by the traced lmin (inert wrapped tail) -------
+    rows_l = jnp.arange(lcap)
+    live = rows_l < (ob.n_lmks - lmin)
+    eye_l = jnp.eye(d_l, dtype=dt)
+
+    def roll_l(a, identity=False):
+        r = jnp.roll(a, -lmin, axis=0)
+        if identity:
+            fill = jnp.broadcast_to(eye_l, a.shape)
+            return jnp.where(live[:, None, None], r, fill)
+        mask = live.reshape((lcap,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, r, jnp.zeros_like(r))
+
+    new_lmks = lmks.replace(prior_eta=roll_l(prior_eta_l),
+                            prior_lam=roll_l(prior_lam_l, identity=True))
+    new_v1 = VariableState(eta=roll_l(v1.eta), lam=roll_l(v1.lam, identity=True),
+                           mean=roll_l(v1.mean))
+
+    return ob.replace(
+        graph=g.replace(vblocks=(new_cams, new_lmks), fblocks=(new_fb,)),
+        state=GBPState(v=(new_v0, new_v1), f=(new_fs,)),
+        n_cams=ob.n_cams - n_evict,
+        n_lmks=ob.n_lmks - lmin,
+        n_obs=jnp.sum(keep).astype(jnp.int32),
+        marg_eta=roll_l(marg_eta),
+        marg_lam=roll_l(marg_lam),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=2)
