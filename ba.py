@@ -32,11 +32,19 @@ def parse_args():
                         "weakening schedule). Chain-structured scenes "
                         "(corridor_sim) need ~1000 or GBP oscillates; the "
                         "schedule anneals it back down")
-    # Prior schedule (arXiv:2003.03134 §4 'prior scheduling').
+    # Prior schedule (arXiv:2003.03134 §4 'prior scheduling').  The schedule
+    # is compiled into the run (gbp_tpu/core/anneal.py); after each
+    # weakening event, lambda damping is raised to --anneal_damp_lam for
+    # --anneal_damp_window sweeps, which keeps the f32 chain-scene
+    # oscillation from re-triggering (docs/PERFORMANCE.md).
     p.add_argument("--weaken_every", type=int, default=10,
                    help="weaken non-anchor priors every N sweeps")
     p.add_argument("--weaken_factor", type=float, default=0.1)
     p.add_argument("--weaken_times", type=int, default=3)
+    p.add_argument("--anneal_damp_window", type=int, default=None,
+                   help="sweeps of boosted lam damping after each weakening "
+                        "(default: weaken_every)")
+    p.add_argument("--anneal_damp_lam", type=float, default=0.4)
     # Synthetic scene (used when no --bal_file).
     p.add_argument("--n_cams", type=int, default=16)
     p.add_argument("--n_lmks", type=int, default=400)
@@ -164,39 +172,43 @@ def main():
         return float(ba.avg_reprojection_error(graph, state, k=k,
                                                px_scale=px_scale))
 
-    if hp is not None:
-        runj = run_halo
-    elif cmg is not None:
-        from gbp_tpu.core import sweep_cm
+    # The full annealing schedule runs INSIDE the compiled loop
+    # (gbp_tpu/core/anneal.py): per-sweep prior scaling from the loop index
+    # plus the post-weakening lambda-damping window.
+    from gbp_tpu.core import anneal
 
-        runj = jax.jit(sweep_cm.run, static_argnums=3)
+    damp_window = (args.weaken_every if args.anneal_damp_window is None
+                   else args.anneal_damp_window)
+    sched = dict(every=args.weaken_every, factor=args.weaken_factor,
+                 times=args.weaken_times, damp_window=damp_window,
+                 damp_lam=args.anneal_damp_lam)
+    if hp is not None:
+        runj = anneal.make_run_annealed_halo(mesh, hp, state)
+        operand = hcm if hcm is not None else hp.hgraph
+    elif cmg is not None:
+        runj, operand = anneal.run_annealed_cm, cmg
     else:
-        runj = jax.jit(run, static_argnums=3)
+        runj, operand = anneal.run_annealed, graph
 
     print(f"sweep   0: avg reprojection error {current_are(state):9.4f} px")
 
     t0 = time.time()
-    weakened = 0
     for it in range(0, args.n_iters, args.weaken_every):
         n = min(args.weaken_every, args.n_iters - it)
         if hp is not None:
-            state = runj((hcm if hcm is not None else hp.hgraph), state, cfg, n)
+            state = runj(operand, state, cfg, n, sched["every"],
+                         sched["factor"], sched["times"],
+                         sched["damp_window"], sched["damp_lam"], it)
         else:
-            state = runj(cmg if cmg is not None else graph, state, cfg, n)
+            state = runj(operand, state, cfg, n, i0=it, **sched)
         print(f"sweep {it + n:3d}: avg reprojection error "
               f"{current_are(state):9.4f} px")
-        if weakened < args.weaken_times:
-            graph = ba.weaken_priors(graph, args.weaken_factor)
-            if hp is not None:
-                from gbp_tpu.parallel import halo
-
-                hp = halo.weaken_priors(hp, args.weaken_factor)
-                if hcm is not None:
-                    hcm = hcm.replace(vblocks=hp.hgraph.vblocks)
-            elif cmg is not None:
-                cmg = cmg.replace(base=graph)
-            weakened += 1
     dt = time.time() - t0
+    # Final effective priors (for the oracle print below): factor^k applied
+    # to non-anchor priors, k = number of weakening events that fired.
+    k_fired = min(args.weaken_times, max(0, (args.n_iters - 1) // args.weaken_every))
+    if k_fired:
+        graph = ba.weaken_priors(graph, args.weaken_factor ** k_fired)
     print(f"{args.n_iters} sweeps in {dt:.2f}s  ({args.n_iters / dt:.1f} sweeps/s)")
 
     if args.oracle:

@@ -1,0 +1,201 @@
+"""In-engine prior-annealing schedules (reference: gbp_ba.weaken_priors
+called from the ba.py driver loop, SURVEY.md C9; arXiv:2003.03134 §4
+"prior scheduling").
+
+The reference weakens priors from the host between sweep batches.  Here the
+whole schedule is part of the compiled run: each sweep scales the (static)
+initial priors by factor^k(i) where k(i) counts the weakening events up to
+sweep i — no host round trips, one XLA computation for the entire annealed
+solve, and the schedule position is just the loop index (checkpoint-trivial).
+
+f32 stability (VERDICT r2 item 1): on chain-structured scenes (corridors,
+streets — locality-rich visibility) each x0.1 weakening is a shock that
+re-excites GBP's oscillatory mode, which f32 rounding keeps re-seeding; the
+engine therefore raises lambda-damping to `damp_lam` for `damp_window`
+sweeps after every weakening event (the mirror image of the reference's
+undamped-after-relinearization window).  Measured on the 64-cam corridor:
+f32 + the reference's full default schedule converges with the damping
+window and oscillates/diverges without it, while non-chain scenes are
+unaffected (damp_window=0 reproduces the host-loop schedule exactly —
+tests/test_anneal.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gbp_tpu.core.graph import Graph
+from gbp_tpu.core.sweep import GBPConfig, GBPState, f32_exact, sweep
+
+
+DEFAULT_KEEP = ((0, (0, 1)),)  # gauge anchors: camera block ids 0 and 1
+
+
+def anchor_masks(graph: Graph, keep=DEFAULT_KEEP) -> tuple:
+    """Per-vblock bool [n] arrays: True = anchor, never weakened
+    (models/ba.build sets the gauge anchors on camera 0/1)."""
+    keep_map = {vb: np.asarray(ids) for vb, ids in keep}
+    masks = []
+    for vi, vb in enumerate(graph.vblocks):
+        m = np.zeros(vb.count, bool)
+        if vi in keep_map:
+            m[keep_map[vi]] = True
+        masks.append(jnp.asarray(m))
+    return tuple(masks)
+
+
+def _scale_vblocks(vblocks, masks, s):
+    """Priors scaled by traced scalar `s` except where mask (anchors).
+
+    Works for both single-graph [n, ...] and halo-stacked [P, n, ...]
+    vblocks: the mask broadcasts from the right-aligned variable axis."""
+    out = []
+    for vb, m in zip(vblocks, masks):
+        sv = jnp.where(m, 1.0, s).astype(vb.prior_eta.dtype)
+        out.append(vb.replace(
+            prior_eta=vb.prior_eta * sv[..., None],
+            prior_lam=vb.prior_lam * sv[..., None, None]))
+    return tuple(out)
+
+
+def schedule_scalars(i, cfg: GBPConfig, every: int, factor: float,
+                     times: int, damp_window: int, damp_lam: float,
+                     dtype=jnp.float32):
+    """(prior scale, effective lam_damping) at sweep index i (traced)."""
+    k = jnp.minimum(i // every, times) if times else jnp.zeros_like(i)
+    s = jnp.asarray(factor, dtype) ** k.astype(dtype)
+    if damp_window and times:
+        in_window = (k >= 1) & ((i - k * every) < damp_window)
+        lam_d = jnp.where(in_window,
+                          jnp.maximum(jnp.asarray(cfg.lam_damping, dtype),
+                                      jnp.asarray(damp_lam, dtype)),
+                          jnp.asarray(cfg.lam_damping, dtype))
+    else:
+        lam_d = jnp.asarray(cfg.lam_damping, dtype)
+    return s, lam_d
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(3, 4, 6, 7, 8))
+@f32_exact
+def run_annealed(graph: Graph, state: GBPState, cfg: GBPConfig,
+                 n_iters: int, every: int = 10, factor: float = 0.1,
+                 times: int = 3, damp_window: int = 10,
+                 damp_lam: float = 0.4, masks: tuple | None = None,
+                 i0=0) -> GBPState:
+    """n_iters sweeps with the full prior-annealing schedule compiled in.
+
+    Equivalent to the reference's driver loop (run `every` sweeps, weaken by
+    `factor`, repeat `times` times) with the f32 stabilization described in
+    the module docstring.  `masks` defaults to the BA gauge anchors.  `i0`
+    (traced) is the global sweep index of the first sweep, so chunked calls
+    (per-chunk metric prints, checkpoint resume) continue the schedule."""
+    if masks is None:
+        masks = anchor_masks(graph)
+    dt = state.v[0].mean.dtype
+    i0 = jnp.asarray(i0, jnp.int32)
+
+    def body(i, s):
+        scale, lam_d = schedule_scalars(i0 + i, cfg, every, factor, times,
+                                        damp_window, damp_lam, dt)
+        g = graph.replace(vblocks=_scale_vblocks(graph.vblocks, masks, scale))
+        return sweep(g, s, cfg.replace(lam_damping=lam_d))
+
+    return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8))
+@f32_exact
+def run_annealed_cm(cmg, state, cfg: GBPConfig, n_iters: int,
+                    every: int = 10, factor: float = 0.1, times: int = 3,
+                    damp_window: int = 10, damp_lam: float = 0.4,
+                    masks: tuple | None = None, i0=0):
+    """`run_annealed` for the persistent component-major fast path
+    (core/sweep_cm.py) — same schedule, same stabilization."""
+    from gbp_tpu.core import sweep_cm
+
+    if masks is None:
+        masks = anchor_masks(cmg.base)
+    dt = state.f.r0.dtype
+    i0 = jnp.asarray(i0, jnp.int32)
+
+    def body(i, s):
+        scale, lam_d = schedule_scalars(i0 + i, cfg, every, factor, times,
+                                        damp_window, damp_lam, dt)
+        base = cmg.base.replace(
+            vblocks=_scale_vblocks(cmg.base.vblocks, masks, scale))
+        return sweep_cm.sweep(cmg.replace(base=base), s,
+                              cfg.replace(lam_damping=lam_d))
+
+    return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+def halo_anchor_masks(hp, keep=DEFAULT_KEEP) -> tuple:
+    """Anchor masks in halo layout: per vblock [P, n_own_max] bool over the
+    OWNED variables of each chip (ghosts receive owner beliefs, not priors)."""
+    masks = []
+    keep_map = {vb: set(np.asarray(ids).tolist()) for vb, ids in keep}
+    for vi, ids in enumerate(hp.owned_ids):
+        m = np.zeros(ids.shape, bool)
+        if vi in keep_map:
+            for gid in keep_map[vi]:
+                m |= ids == gid
+        masks.append(jnp.asarray(m))
+    return tuple(masks)
+
+
+def make_run_annealed_halo(mesh, hp, state, axis: str = "graph",
+                           keep=DEFAULT_KEEP):
+    """Annealed halo run: run_fn(hgraph_or_hcm, state, cfg, n_iters, every,
+    factor, times, damp_window, damp_lam).  Works for both the generic halo
+    sweep (pass hp.hgraph) and the CM fast path (pass the HaloCMGraph) —
+    the priors live in .vblocks of either pytree."""
+    from jax.sharding import PartitionSpec as P
+
+    from gbp_tpu.parallel import halo as halo_mod
+
+    masks = halo_anchor_masks(hp, keep)
+    mspec = tuple(P(axis, None) for _ in masks)
+    is_cm = not isinstance(state, halo_mod.HaloState)
+
+    @functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8))
+    def run_fn(hg, state, cfg, n_iters, every=10, factor=0.1, times=3,
+               damp_window=10, damp_lam=0.4, i0=0):
+        gspec = halo_mod.shard_leading(hg, axis)
+        sspec = halo_mod.shard_leading(state, axis)
+        i0 = jnp.asarray(i0, jnp.int32)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(gspec, sspec, P(), mspec, P()),
+            out_specs=sspec,
+            check_vma=False,
+        )
+        @f32_exact
+        def body_shard(hg, state, cfg, masks, i0):
+            hg1 = jax.tree_util.tree_map(lambda a: a[0], hg)
+            st1 = jax.tree_util.tree_map(lambda a: a[0], state)
+            m1 = tuple(m[0] for m in masks)
+            dt = st1.v[0].mean.dtype
+
+            def one(i, s):
+                scale, lam_d = schedule_scalars(
+                    i0 + i, cfg, every, factor, times, damp_window, damp_lam,
+                    dt)
+                g = hg1.replace(
+                    vblocks=_scale_vblocks(hg1.vblocks, m1, scale))
+                c = cfg.replace(lam_damping=lam_d)
+                if is_cm:
+                    from gbp_tpu.parallel import halo_cm
+                    return halo_cm._sweep_cm_halo(g, s, c, axis)
+                return halo_mod._sweep_halo(g, s, c, axis)
+
+            out = jax.lax.fori_loop(0, n_iters, one, st1)
+            return jax.tree_util.tree_map(lambda a: a[None], out)
+
+        return body_shard(hg, state, cfg, masks, i0)
+
+    return run_fn
