@@ -208,3 +208,69 @@ def test_full_sfm_from_pixels_without_oracle_poses():
     state = run(graph, init_state(graph, means), cfg, 60)
     are = float(ba.avg_reprojection_error(graph, state, k=k))
     assert are < 1.5, are
+
+
+def test_initialize_poses_robust_to_gross_outliers():
+    """VERDICT r2 item 7: 25% injected gross matches (uniform random pixels,
+    the worst ZNCC failure mode) must not sink the bootstrap — the RANSAC
+    loops around essential_8pt / pnp_dlt reject them and the downstream
+    Huber-robust BA still reaches the clean-accuracy bounds."""
+    from gbp_tpu.frontend import init_pose
+
+    rng = np.random.default_rng(7)
+    sim = ba.simulate(n_cams=6, n_lmks=80, pix_sigma=0.3, seed=1,
+                      fov_frac=0.25)
+    obs = sim["obs"].copy()
+    m = obs.shape[0]
+    bad = rng.random(m) < 0.25
+    k = sim["k"]
+    obs[bad] = rng.uniform([0.0, 0.0], [2 * k[2], 2 * k[3]],
+                           size=(int(bad.sum()), 2))
+
+    cams, lmks, cam_ok, lmk_ok = init_pose.initialize_poses(
+        k, sim["cam_ids"], sim["lmk_ids"], obs, 6)
+    assert cam_ok.all(), cam_ok
+    assert lmk_ok.mean() > 0.5, lmk_ok.mean()  # corrupted tracks get gated
+
+    sel = lmk_ok[sim["lmk_ids"]]
+    remap = -np.ones(lmk_ok.size, dtype=np.int64)
+    remap[lmk_ok] = np.arange(int(lmk_ok.sum()))
+    boot = dict(cam_init=cams, lmk_init=lmks[lmk_ok],
+                obs=obs[sel], cam_ids=sim["cam_ids"][sel],
+                lmk_ids=remap[sim["lmk_ids"][sel]], k=k, pix_sigma=1.0)
+    # Huber-robust BA: the surviving gross observations are down-weighted.
+    graph, means = ba.build(boot, dtype=jnp.float64, huber=2.0)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+    state = run(graph, init_state(graph, means), cfg, 80)
+
+    got = np.asarray(state.v[0].mean)
+    s, r, t = ba.align_sim3(_centers(got), _centers(sim["cam_truth"]))
+    err = np.linalg.norm(
+        (s * _centers(got) @ r.T + t) - _centers(sim["cam_truth"]), axis=1)
+    assert err.max() < 0.1, err  # scene scale ~10; same bound as the clean test
+
+
+def test_essential_ransac_rejects_outliers():
+    """Unit-level: 30% gross correspondences; RANSAC must recover the clean
+    relative pose where plain 8-point is dragged off."""
+    from gbp_tpu.frontend import init_pose
+    from gbp_tpu.utils.lie import so3_exp
+
+    rng = np.random.default_rng(3)
+    n = 120
+    pts = rng.standard_normal((n, 3)) * [2.0, 2.0, 0.8] + [0, 0, 6.0]
+    r_rel = np.asarray(so3_exp(jnp.asarray([0.05, -0.3, 0.02])))
+    t_rel = np.array([1.0, 0.1, -0.05])
+    x1 = pts[:, :2] / pts[:, 2:3]
+    p2 = pts @ r_rel.T + t_rel
+    x2 = p2[:, :2] / p2[:, 2:3]
+    bad = rng.random(n) < 0.3
+    x2[bad] += rng.uniform(0.2, 0.8, size=(int(bad.sum()), 2))
+
+    e, inl = init_pose.essential_ransac(x1, x2, thresh=5e-3, seed=0)
+    assert inl.sum() >= 0.9 * (~bad).sum()
+    assert (inl & bad).sum() <= 2
+    r, t, _, front = init_pose.decompose_essential(e, x1[inl], x2[inl])
+    np.testing.assert_allclose(r, r_rel, atol=1e-3)
+    cos = np.dot(t, t_rel) / np.linalg.norm(t) / np.linalg.norm(t_rel)
+    assert cos > 0.999, cos
