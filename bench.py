@@ -73,39 +73,49 @@ def measure_tpu(sim):
     if not np.isfinite(are):
         raise RuntimeError("benchmark produced non-finite ARE")
 
-    # Wall-clock-to-convergence (BASELINE.json names both metrics): fresh
-    # state, chunks of 25 sweeps, converged when ARE is within 2% of the
-    # final value.  Chunked with a fixed static n so there is ONE compile,
-    # excluded from the timing (runj is already compiled for SWEEPS only, so
-    # warm the 25-sweep program first).
-    chunk = 25
+    # Wall-clock-to-convergence (BASELINE.json names both metrics).
+    # VERDICT r2 item 9: the target is tied to the MAP solution, not to the
+    # run's own plateau — converged means ARE <= 1.05 x ARE(MAP), where the
+    # MAP estimate comes from the distributed-Schur Gauss-Newton solver
+    # (gbp_tpu/parallel/schur.py, implicit-S CG) on the SAME graph on chip;
+    # resolution is 5-sweep chunks.
+    from gbp_tpu.parallel import schur
+
+    t0 = time.time()
+    mu = means
+    for _ in range(6):
+        mu = schur.gauss_newton_step(graph, mu, cg_iters=60)
+    are_map = float(ba.avg_reprojection_error(
+        graph, ba.with_means(sweep_cm.to_gbp_state(cmg, state), mu),
+        k=sim["k"]))
+    log(f"[bench] MAP target via Schur-GN: ARE {are_map:.4f} px "
+        f"({time.time()-t0:.1f}s, not counted)")
+    target = 1.05 * are_map
+
+    chunk = 5
     state = sweep_cm.init_state(cmg, means)
     runj(cmg, state, cfg, chunk).v[0].mean.block_until_ready()  # warm compile
     state = sweep_cm.init_state(cmg, means)
     ares, times = [], []
     t0 = time.time()
-    for _ in range(8):
+    t_conv = None
+    for i in range(40):
         state = runj(cmg, state, cfg, chunk)
         state.v[0].mean.block_until_ready()
         times.append(time.time() - t0)
         ares.append(float(ba.avg_reprojection_error(
             graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"])))
-    final = min(ares)
-    # Converged only if the run actually PLATEAUED inside the horizon: the
-    # last chunk must be within 2% of the best AND the final slope must be
-    # flat (a monotonically descending run always has ares[-1] == min, so
-    # the min test alone cannot reject it).
-    flat = (ares[-2] - ares[-1]) <= 0.02 * max(ares[-2], 1e-12)
-    if ares[-1] <= 1.02 * final and flat:
-        conv_i = next(i for i, a in enumerate(ares) if a <= 1.02 * final)
-        t_conv = times[conv_i]
-        log(f"[bench] convergence: ARE/25-sweep chunk = "
-            + " ".join(f"{a:.3f}" for a in ares)
-            + f" -> converged at chunk {conv_i+1} ({t_conv:.3f}s wall)")
+        if t_conv is None and ares[-1] <= target:
+            t_conv = times[-1]
+            conv_i = i
+    if t_conv is not None:
+        log(f"[bench] convergence to <=1.05x MAP ARE at sweep "
+            f"{(conv_i + 1) * chunk} ({t_conv:.3f}s wall); ARE/5-sweep "
+            "chunk = " + " ".join(f"{a:.3f}" for a in ares[:conv_i + 3]))
     else:
-        t_conv = None
-        log(f"[bench] convergence: NOT plateaued within {chunk * 8} sweeps "
-            "(wall_clock_to_convergence_s = null)")
+        log(f"[bench] NOT converged to 1.05x MAP ARE ({target:.4f}) within "
+            f"{chunk * 40} sweeps; trajectory "
+            + " ".join(f"{a:.3f}" for a in ares))
     return sweeps_per_s, m, t_conv
 
 
