@@ -57,6 +57,11 @@ def parse_args():
                         "persistent component-major sweep when eligible); "
                         "'schur' is the reference's info-form marginalization "
                         "— f64 only (catastrophic cancellation in f32)")
+    p.add_argument("--optimize_intrinsics", action="store_true",
+                   help="promote per-camera intrinsics into the state: "
+                        "9-dof BAL cameras [omega, t, rf, k1, k2] (beyond "
+                        "the reference's fixed per-factor intrinsics). "
+                        "Requires --bal_file")
     p.add_argument("--n_chips", type=int, default=1,
                    help="partition the graph over the first N devices "
                         "(owner-sharded halo SPMD, gbp_tpu.parallel.halo)")
@@ -101,10 +106,15 @@ def main():
         sim = balio.to_sim(problem, pix_sigma=args.pix_sigma)
         graph, means, px_scale = ba.build_bal(
             sim, huber=args.huber, layout=layout, dtype=dtype,
-            cam_prior_prec=args.prior_prec, lmk_prior_prec=args.prior_prec)
+            cam_prior_prec=args.prior_prec, lmk_prior_prec=args.prior_prec,
+            optimize_intrinsics=args.optimize_intrinsics)
         print(f"loaded {args.bal_file}: {sim['cam_init'].shape[0]} cams, "
-              f"{sim['lmk_init'].shape[0]} landmarks, {sim['obs'].shape[0]} observations")
+              f"{sim['lmk_init'].shape[0]} landmarks, {sim['obs'].shape[0]} observations"
+              + (" (9-dof cameras: optimizing intrinsics)"
+                 if args.optimize_intrinsics else ""))
     else:
+        if args.optimize_intrinsics:
+            raise SystemExit("--optimize_intrinsics requires --bal_file")
         sim = ba.simulate(n_cams=args.n_cams, n_lmks=args.n_lmks,
                           pix_sigma=args.pix_sigma, seed=args.seed)
         graph, means = ba.build(sim, huber=args.huber, layout=layout,

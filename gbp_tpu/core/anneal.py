@@ -31,33 +31,47 @@ from gbp_tpu.core.graph import Graph
 from gbp_tpu.core.sweep import GBPConfig, GBPState, f32_exact, sweep
 
 
-DEFAULT_KEEP = ((0, (0, 1)),)  # gauge anchors: camera block ids 0 and 1
+# Gauge anchors: camera block ids 0 and 1, state components 0..6 pinned
+# (the whole state for 6-dof cameras; pose-only for 9-dof intrinsics
+# cameras, whose intrinsics prior anneals like everyone else's — mirrors
+# models/ba.weaken_priors).
+DEFAULT_KEEP = ((0, (0, 1), (0, 6)),)
+
+
+def _keep_map(keep):
+    """keep entries: (vblock, ids) or (vblock, ids, (lo, hi) comp range)."""
+    return {e[0]: (np.asarray(e[1]), e[2] if len(e) > 2 else None)
+            for e in keep}
 
 
 def anchor_masks(graph: Graph, keep=DEFAULT_KEEP) -> tuple:
-    """Per-vblock bool [n] arrays: True = anchor, never weakened
-    (models/ba.build sets the gauge anchors on camera 0/1)."""
-    keep_map = {vb: np.asarray(ids) for vb, ids in keep}
+    """Per-vblock bool [n, d] arrays: True = anchored component, never
+    weakened (models/ba.build sets the gauge anchors on camera 0/1)."""
+    km = _keep_map(keep)
     masks = []
     for vi, vb in enumerate(graph.vblocks):
-        m = np.zeros(vb.count, bool)
-        if vi in keep_map:
-            m[keep_map[vi]] = True
+        dof = vb.prior_eta.shape[-1]
+        m = np.zeros((vb.count, dof), bool)
+        if vi in km:
+            ids, comps = km[vi]
+            lo, hi = (0, dof) if comps is None else comps
+            m[ids, lo:min(hi, dof)] = True
         masks.append(jnp.asarray(m))
     return tuple(masks)
 
 
 def _scale_vblocks(vblocks, masks, s):
-    """Priors scaled by traced scalar `s` except where mask (anchors).
-
-    Works for both single-graph [n, ...] and halo-stacked [P, n, ...]
-    vblocks: the mask broadcasts from the right-aligned variable axis."""
+    """Priors scaled by traced scalar `s` except where mask (anchored
+    components).  Priors are diagonal (built from prior_prec vectors), so
+    per-component row scaling of prior_lam is exact.  Works for both
+    single-graph [n, d] and halo-stacked [P, n, d] vblocks: the mask
+    broadcasts from the right-aligned (variable, component) axes."""
     out = []
     for vb, m in zip(vblocks, masks):
         sv = jnp.where(m, 1.0, s).astype(vb.prior_eta.dtype)
         out.append(vb.replace(
-            prior_eta=vb.prior_eta * sv[..., None],
-            prior_lam=vb.prior_lam * sv[..., None, None]))
+            prior_eta=vb.prior_eta * sv,
+            prior_lam=vb.prior_lam * sv[..., None]))
     return tuple(out)
 
 
@@ -134,15 +148,19 @@ def run_annealed_cm(cmg, state, cfg: GBPConfig, n_iters: int,
 
 
 def halo_anchor_masks(hp, keep=DEFAULT_KEEP) -> tuple:
-    """Anchor masks in halo layout: per vblock [P, n_own_max] bool over the
-    OWNED variables of each chip (ghosts receive owner beliefs, not priors)."""
+    """Anchor masks in halo layout: per vblock [P, n_own_max, d] bool over
+    the OWNED variables of each chip (ghosts receive owner beliefs, not
+    priors)."""
     masks = []
-    keep_map = {vb: set(np.asarray(ids).tolist()) for vb, ids in keep}
+    km = _keep_map(keep)
     for vi, ids in enumerate(hp.owned_ids):
-        m = np.zeros(ids.shape, bool)
-        if vi in keep_map:
-            for gid in keep_map[vi]:
-                m |= ids == gid
+        dof = hp.src_graph.vblocks[vi].dof
+        m = np.zeros(ids.shape + (dof,), bool)
+        if vi in km:
+            gids, comps = km[vi]
+            lo, hi = (0, dof) if comps is None else comps
+            hit = np.isin(ids, gids)
+            m[hit, lo:min(hi, dof)] = True
         masks.append(jnp.asarray(m))
     return tuple(masks)
 
@@ -158,7 +176,7 @@ def make_run_annealed_halo(mesh, hp, state, axis: str = "graph",
     from gbp_tpu.parallel import halo as halo_mod
 
     masks = halo_anchor_masks(hp, keep)
-    mspec = tuple(P(axis, None) for _ in masks)
+    mspec = tuple(P(axis, None, None) for _ in masks)
     is_cm = not isinstance(state, halo_mod.HaloState)
 
     @functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8))

@@ -149,5 +149,34 @@ def bal_reprojection_normalized() -> FactorType:
     return FactorType(name="bal_reprojection_normalized", zdim=2, meas_fn=meas)
 
 
+def bal_reprojection_intrinsics() -> FactorType:
+    """BAL model with the PER-CAMERA INTRINSICS IN THE STATE; args = None.
+
+    The camera is the standard 9-parameter BAL camera that Ceres-style
+    solvers optimize — beyond the reference, whose intrinsics are fixed
+    per-factor constants (gbp/factors/reprojection.py, SURVEY.md C7).
+    State x = [omega (3), t (3), rf, k1, k2 | X (3)] where rf = f / f0 is
+    the focal RELATIVE to the file's initial estimate f0, so every state
+    component is O(1) (the f32 conditioning requirement — see
+    `reprojection_normalized`).  Measurements are pre-divided by f0
+    (z = pixel / f0, sigma = pix_sigma / f0):
+
+        h(x) = rf * (1 + k1 r^2 + k2 r^4) * p,   p = -Xc.xy / Xc.z.
+    """
+
+    def meas(x, args):
+        del args
+        w, t, pt = x[:3], x[3:6], x[9:12]
+        rf, k1, k2 = x[6], x[7], x[8]
+        xc = bmv(so3_exp(w), pt) + t
+        p = -xc[:2] / xc[2]
+        r2 = p[0] * p[0] + p[1] * p[1]
+        distortion = 1.0 + r2 * (k1 + k2 * r2)
+        return rf * distortion * p
+
+    return FactorType(name="bal_reprojection_intrinsics", zdim=2, meas_fn=meas)
+
+
 CAM_DOF = _CAM_DOF
 LMK_DOF = 3
+CAM_INTR_DOF = 9  # [omega, t, rf, k1, k2] for bal_reprojection_intrinsics

@@ -268,6 +268,8 @@ def build_bal(
     normalized=True,
     dtype=jnp.float32,
     layout="ell",
+    optimize_intrinsics=False,
+    intr_prior_prec=(100.0, 100.0, 100.0),
 ):
     """Build a BA graph from a BAL-convention problem (io.bal.to_sim dict).
 
@@ -276,6 +278,17 @@ def build_bal(
     the BAL z-negation (factors.reprojection.bal_reprojection*).  Returns
     (graph, init_means, px_scale) where px_scale [m, 2] converts normalized
     residuals back to pixels for error metrics.
+
+    optimize_intrinsics=True promotes the intrinsics into the state — the
+    standard 9-parameter BAL camera [omega, t, rf, k1, k2] that Ceres-style
+    solvers refine (beyond the reference, whose intrinsics are fixed).  The
+    focal is parameterized as rf = f / f0 relative to the file's estimate, so
+    the state stays O(1) for f32; `intr_prior_prec` is the diagonal prior
+    precision on [rf, k1, k2] (the file's intrinsics are good estimates, so
+    they get a real prior rather than the weak positional one; it is still
+    weakened by the annealing schedule like every non-anchor prior).
+    Requires normalized=True (the pixel-space form would reintroduce the
+    O(focal) conditioning the normalized build exists to remove).
     """
     n_cams = sim["cam_init"].shape[0]
     pix_sigma = sim.get("pix_sigma", 1.0) if pix_sigma is None else pix_sigma
@@ -283,16 +296,43 @@ def build_bal(
     cam_ids = sim["cam_ids"]
 
     b = GraphBuilder(dtype=dtype)
-    cam = b.add_variables("cam", sim["cam_init"], prior_prec=cam_prior_prec)
+    if optimize_intrinsics:
+        if not normalized:
+            raise ValueError("optimize_intrinsics requires normalized=True")
+        # 9-dof cameras: [omega, t, rf=1, k1, k2].
+        cam_state = np.concatenate(
+            [sim["cam_init"], np.ones((n_cams, 1)), intr[:, 1:3]], axis=1)
+        prior_prec = np.concatenate(
+            [np.full((n_cams, 6), cam_prior_prec),
+             np.broadcast_to(np.asarray(intr_prior_prec), (n_cams, 3))], axis=1)
+        cam = b.add_variables("cam", cam_state, prior_prec=prior_prec)
+    else:
+        cam = b.add_variables("cam", sim["cam_init"], prior_prec=cam_prior_prec)
     lmk = b.add_variables("lmk", sim["lmk_init"], prior_prec=lmk_prior_prec)
-    b.set_prior(cam, 0, sim["cam_init"][0], anchor_prec[0])
+
+    def cam_anchor(idx, pose_prec):
+        if not optimize_intrinsics:
+            b.set_prior(cam, idx, sim["cam_init"][idx], pose_prec)
+            return
+        prec = np.concatenate(
+            [np.broadcast_to(pose_prec, (6,)), np.asarray(intr_prior_prec)])
+        state = np.concatenate(
+            [sim["cam_init"][idx], [1.0], intr[idx, 1:3]])
+        b.set_prior(cam, idx, state, prec)
+
+    cam_anchor(0, anchor_prec[0])
     if n_cams > 1:
         prec1 = np.full(6, cam_prior_prec)
         prec1[3:] = anchor_prec[1]
-        b.set_prior(cam, 1, sim["cam_init"][1], prec1)
+        cam_anchor(1, prec1)
     conns = [(cam, cam_ids), (lmk, sim["lmk_ids"])]
     f_per_obs = intr[cam_ids, 0]  # [m]
-    if normalized:
+    if optimize_intrinsics:
+        z = sim["obs"] / f_per_obs[:, None]
+        sigma = np.broadcast_to((pix_sigma / f_per_obs)[:, None], z.shape)
+        b.add_factors("reproj", reprojection.bal_reprojection_intrinsics(),
+                      conns, z, sigma=sigma, huber=huber)
+    elif normalized:
         z = sim["obs"] / f_per_obs[:, None]
         sigma = np.broadcast_to((pix_sigma / f_per_obs)[:, None], z.shape)
         b.add_factors("reproj", reprojection.bal_reprojection_normalized(),
@@ -313,24 +353,33 @@ def build_bal(
     return graph, means, jnp.asarray(px_scale, dtype=dtype)
 
 
-def weaken_priors(graph: Graph, factor=0.1, keep=((0, (0, 1)),)) -> Graph:
+def weaken_priors(graph: Graph, factor=0.1, keep=((0, (0, 1), (0, 6)),)) -> Graph:
     """Scale all variable priors by `factor`, except listed anchors.
 
-    keep: iterable of (vblock_index, variable_indices) to leave untouched.
+    keep: iterable of (vblock_index, variable_indices) or
+    (vblock_index, variable_indices, (lo, hi)) to leave untouched; the
+    optional (lo, hi) half-open component range pins only those state
+    components (the default pins components 0..6 of cameras 0 and 1 — the
+    whole state for 6-dof cameras, pose-only for the 9-dof intrinsics
+    cameras, whose intrinsics prior must anneal like everyone else's).
     Reference: BAFactorGraph.weaken_priors (SURVEY.md C9).  Returns a new
     Graph (functional update); beliefs pick up the change at the next sweep's
     belief update.
     """
-    keep_map = {vb: np.asarray(ids) for vb, ids in keep}
+    keep_map = {e[0]: (np.asarray(e[1]), e[2] if len(e) > 2 else None)
+                for e in keep}
     new_vblocks = []
     for vi, vb in enumerate(graph.vblocks):
-        scale = jnp.full((vb.count,), factor, dtype=vb.prior_eta.dtype)
+        dof = vb.prior_eta.shape[1]
+        scale = jnp.full((vb.count, dof), factor, dtype=vb.prior_eta.dtype)
         if vi in keep_map:
-            scale = scale.at[keep_map[vi]].set(1.0)
+            ids, comps = keep_map[vi]
+            lo, hi = (0, dof) if comps is None else comps
+            scale = scale.at[ids, lo:min(hi, dof)].set(1.0)
         new_vblocks.append(
             vb.replace(
-                prior_eta=vb.prior_eta * scale[:, None],
-                prior_lam=vb.prior_lam * scale[:, None, None],
+                prior_eta=vb.prior_eta * scale,
+                prior_lam=vb.prior_lam * scale[:, :, None],
             )
         )
     return graph.replace(vblocks=tuple(new_vblocks))

@@ -139,8 +139,57 @@ def bal_reprojection_normalized_comp(x, args):
     return h, jac
 
 
+def bal_reprojection_intrinsics_comp(x, args):
+    """Component form of factors/reprojection.bal_reprojection_intrinsics.
+
+    x = [omega (3), t (3), rf, k1, k2, X (3)] (12 components); the camera
+    slot is 9-dof (pose + relative focal + distortion), so the Jacobian is
+    [2][12] with intrinsics columns at 6..8."""
+    del args
+    w = x[0:3]
+    t = x[3:6]
+    rf, k1, k2 = x[6], x[7], x[8]
+    pt = x[9:12]
+    r = _so3_exp(w)
+    xc = [cl.cmv(r, pt)[i] + t[i] for i in range(3)]
+    inv_z = 1.0 / xc[2]
+    p = [-xc[0] * inv_z, -xc[1] * inv_z]
+    r2 = p[0] * p[0] + p[1] * p[1]
+    dist = 1.0 + r2 * (k1 + k2 * r2)
+    h = [rf * dist * p[0], rf * dist * p[1]]
+
+    # dh/dXc = rf * (dist I + p ddist 2 p^T) . dp/dXc  (as in the fixed-K
+    # BAL form, scaled by rf).
+    zero = jnp.zeros_like(inv_z)
+    dp = [
+        [-inv_z, zero, xc[0] * inv_z * inv_z],
+        [zero, -inv_z, xc[1] * inv_z * inv_z],
+    ]
+    ddist = k1 + 2.0 * k2 * r2
+    dh_dp = [
+        [rf * (dist + p[0] * ddist * 2.0 * p[0]), rf * (p[0] * ddist * 2.0 * p[1])],
+        [rf * (p[1] * ddist * 2.0 * p[0]), rf * (dist + p[1] * ddist * 2.0 * p[1])],
+    ]
+    dh_dxc = cl.cmm(dh_dp, dp)  # [2][3]
+    jr = _right_jacobian(w)
+    d_omega = cl.cscale(cl.cmm(cl.cmm(r, _hat(pt)), jr), -1.0)
+    one = jnp.ones_like(inv_z)
+    eye = [[one if i == j else zero for j in range(3)] for i in range(3)]
+    dxc = [d_omega[i] + eye[i] + r[i] for i in range(3)]  # rows: [3][9]
+    d_pose_pt = cl.cmm(dh_dxc, dxc)  # [2][9] -> cols [omega, t, X]
+    r4 = r2 * r2
+    jac = [
+        d_pose_pt[i][0:6]
+        + [dist * p[i], rf * r2 * p[i], rf * r4 * p[i]]
+        + d_pose_pt[i][6:9]
+        for i in range(2)
+    ]
+    return h, jac
+
+
 # ftype.name -> (comp fn, n_arg_components)
 COMP_FACTORS = {
     "reprojection_normalized": (reprojection_normalized_comp, 0),
     "bal_reprojection_normalized": (bal_reprojection_normalized_comp, 2),
+    "bal_reprojection_intrinsics": (bal_reprojection_intrinsics_comp, 0),
 }

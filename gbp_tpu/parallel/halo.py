@@ -488,23 +488,29 @@ def init_state(hp: HaloProblem, means: tuple) -> HaloState:
 
 
 def weaken_priors(hp: HaloProblem, factor: float = 0.1,
-                  keep=((0, (0, 1)),)) -> HaloProblem:
+                  keep=((0, (0, 1), (0, 6)),)) -> HaloProblem:
     """Owner-sharded analogue of models/ba.weaken_priors: scale every owned
     variable's prior by `factor` except the listed gauge anchors (global
-    indices).  Padded owned slots keep their identity prior."""
+    indices).  keep entries are (vblock, ids) or (vblock, ids, (lo, hi))
+    pinning only that component range (the default pins components 0..6 —
+    whole state for 6-dof cameras, pose-only for 9-dof intrinsics cameras).
+    Padded owned slots keep their identity prior."""
     hg = hp.hgraph
     new_vbs = []
     for vbi, vb in enumerate(hg.vblocks):
-        scale = np.full(hp.owned_ids[vbi].shape, factor)
+        dof = vb.prior_eta.shape[-1]
+        scale = np.full(hp.owned_ids[vbi].shape + (dof,), factor)
         scale[~hp.owned_valid[vbi]] = 1.0
-        for kvb, idxs in keep:
+        for e in keep:
+            kvb, idxs = e[0], e[1]
             if kvb != vbi:
                 continue
-            for gid in idxs:
+            lo, hi = (0, dof) if len(e) < 3 else e[2]
+            for gid in np.asarray(idxs).ravel():
                 hits = np.argwhere(hp.owned_ids[vbi] == gid)
                 if hits.size:
-                    scale[hits[0][0], hits[0][1]] = 1.0
-        sc = jnp.asarray(scale, dtype=vb.prior_eta.dtype)[:, :, None]
+                    scale[hits[0][0], hits[0][1], lo:min(hi, dof)] = 1.0
+        sc = jnp.asarray(scale, dtype=vb.prior_eta.dtype)
         new_vbs.append(vb.replace(prior_eta=vb.prior_eta * sc,
                                   prior_lam=vb.prior_lam * sc[..., None]))
     hp.hgraph = hg.replace(vblocks=tuple(new_vbs))

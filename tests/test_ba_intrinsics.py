@@ -1,0 +1,121 @@
+"""9-parameter BAL cameras: intrinsics (rf, k1, k2) in the state.
+
+Beyond the reference (fixed per-factor intrinsics, SURVEY.md C7): the
+standard BAL camera refined by Ceres-style solvers.  Covers the analytic
+component-form Jacobian, intrinsics recovery from deliberately-wrong file
+intrinsics, dense-MAP parity, and the CM fast path.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gbp_tpu.core import oracle, sweep_cm
+from gbp_tpu.core.sweep import GBPConfig, init_state, run
+from gbp_tpu.io import bal as balio
+from gbp_tpu.models import ba
+from gbp_tpu.ops.comp_factors import bal_reprojection_intrinsics_comp
+from gbp_tpu.factors.reprojection import bal_reprojection_intrinsics
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
+
+
+def test_comp_jac_matches_autodiff():
+    """Component-form analytic Jacobian == jacfwd of the row-major meas."""
+    ft = bal_reprojection_intrinsics()
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        x = rng.standard_normal(12) * 0.4
+        x[6] = 1.0 + 0.1 * rng.standard_normal()   # rf near 1
+        x[11] = 3.0 + rng.standard_normal()        # depth away from 0
+        xj = jnp.asarray(x)
+        h_ref = np.asarray(ft.meas(xj, None))
+        j_ref = np.asarray(jax.jacfwd(ft.meas_fn)(xj, None))
+        comps = [jnp.asarray(x[i]) for i in range(12)]
+        h, jac = bal_reprojection_intrinsics_comp(comps, None)
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(h)), h_ref, rtol=1e-6, atol=1e-8)
+        j = np.asarray(jnp.stack([jnp.stack(row) for row in jac]))
+        np.testing.assert_allclose(j, j_ref, rtol=1e-5, atol=1e-7)
+
+
+def _wrong_intr_sim():
+    """toy_ba with deliberately wrong file intrinsics: the solver must
+    recover rf ~= f_true / f0_wrong and the shifted k1."""
+    problem = balio.prune(balio.read_bal(os.path.join(DATA, "toy_ba.txt")))
+    sim = balio.to_sim(problem, pix_sigma=1.0)
+    f_true = sim["intrinsics"][:, 0].copy()
+    sim["intrinsics"] = sim["intrinsics"] * np.array([1.05, 1.0, 1.0])
+    sim["intrinsics"][:, 1] += 0.02
+    return sim, f_true
+
+
+def _anneal_run(graph, state, cfg, px_scale):
+    for _ in range(3):
+        state = run(graph, state, cfg, 15)
+        graph = ba.weaken_priors(graph, 0.1)
+    return run(graph, state, cfg, 15), graph
+
+
+def test_intrinsics_recovery_and_map_parity():
+    sim, f_true = _wrong_intr_sim()
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+
+    # Fixed wrong intrinsics: the model error shows up as residual floor.
+    graph_fx, means_fx, px_fx = ba.build_bal(sim, dtype=jnp.float64)
+    state_fx, graph_fx = _anneal_run(
+        graph_fx, init_state(graph_fx, means_fx), cfg, px_fx)
+    are_fixed = float(ba.avg_reprojection_error(graph_fx, state_fx,
+                                                px_scale=px_fx))
+
+    # Intrinsics in the state: the solver absorbs the wrong file intrinsics.
+    graph, means, px = ba.build_bal(sim, dtype=jnp.float64,
+                                    optimize_intrinsics=True)
+    assert graph.vblocks[0].prior_eta.shape[1] == 9
+    state, graph_w = _anneal_run(graph, init_state(graph, means), cfg, px)
+    are = float(ba.avg_reprojection_error(graph_w, state, px_scale=px))
+    assert are < are_fixed - 0.1, (are, are_fixed)
+    assert are < 1.6, are  # back near the pix_sigma noise floor
+
+    # Recovered focal.  Per-camera intrinsics are weakly identifiable on a
+    # 6-camera scene — even the exact MAP (iterated dense GN) recovers
+    # focals spread ~+-1.5% around truth and k1 spread ~2x, and GBP walks
+    # the long focal/scene-scale valley slowly (measured: anchored cams
+    # 534->514 over 260 sweeps toward the GN answer ~495).  So assert the
+    # identifiable quantity — the MEAN focal (global scale is pinned by the
+    # anchors) — tightly, and per-camera only loosely: the solver must have
+    # absorbed most of the injected 5% error.
+    rf = np.asarray(state.v[0].mean[:, 6])
+    f_rec = rf * np.asarray(sim["intrinsics"][:, 0])
+    np.testing.assert_allclose(f_rec.mean(), f_true.mean(), rtol=0.02)
+    np.testing.assert_allclose(f_rec, f_true, rtol=0.08)
+
+    # Dense-MAP comparison at the final linearization (SURVEY.md §3.4).
+    # The intrinsics dims mix slowly (measured gap: 0.097 px at 60 sweeps,
+    # 0.078 at 180 — both ARE and MAP-ARE still improving together), so at
+    # test budget GBP trails the one-shot MAP re-solve by ~0.1 px; assert
+    # the loose bound here (exact fixed-point MAP parity for the 6-dof
+    # model is pinned tightly in test_ba.py / test_reference_parity.py).
+    mu = oracle.map_solution(graph_w, state)
+    ref = ba.with_means(state, mu)
+    are_map = float(ba.avg_reprojection_error(graph_w, ref, px_scale=px))
+    assert abs(are - are_map) < 0.15, (are, are_map)
+
+
+def test_intrinsics_cm_matches_generic():
+    sim, _ = _wrong_intr_sim()
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="pallas")
+    graph, means, _ = ba.build_bal(sim, dtype=jnp.float64,
+                                   optimize_intrinsics=True)
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    assert cmg is not None  # 9-dof cameras must stay CM/table-eligible
+    s_ref = jax.jit(run, static_argnums=3)(
+        graph, init_state(graph, means), cfg, 15)
+    s_cm = jax.jit(sweep_cm.run, static_argnums=3)(
+        cmg, sweep_cm.init_state(cmg, means), cfg, 15)
+    for vi in range(2):
+        np.testing.assert_allclose(
+            np.asarray(s_cm.v[vi].mean), np.asarray(s_ref.v[vi].mean),
+            rtol=1e-9, atol=1e-9)

@@ -58,6 +58,13 @@ def test_ba_cli_bal_file():
     assert _final_are(out) < 3.0
 
 
+def test_ba_cli_optimize_intrinsics():
+    out = _run("ba.py", "--bal_file", "data/toy_ba.txt", "--n_iters", "20",
+               "--optimize_intrinsics")
+    assert "9-dof cameras" in out
+    assert np.isfinite(_final_are(out))
+
+
 def test_slam_cli():
     out = _run("slam.py", "--n_poses", "40", "--n_iters", "30",
                "--print_every", "30")
