@@ -38,6 +38,7 @@ import math
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gbp_tpu.core import sweep as sweep_mod
 from gbp_tpu.core.graph import Graph
@@ -49,10 +50,12 @@ from gbp_tpu.core.sweep import (
 )
 from gbp_tpu.ops.messages_pallas import (
     LANE,
+    SUB,
     TILE,
     fused_messages_cm,
     fused_relin_cm,
     segsum_cm,
+    segsum_cm_win,
 )
 from gbp_tpu.utils.smalllinalg import scaled_sym_solve
 
@@ -93,6 +96,31 @@ class CMGraph(flax.struct.PyTreeNode):
     # back to 'rows' otherwise.
     gather_mode: str = flax.struct.field(pytree_node=False, default="rows")
     segsum_exact: bool = flax.struct.field(pytree_node=False, default=False)
+    # Per-grid-tile camera windows for 'table' mode (ops/messages_pallas.py
+    # `*_tabwin` / `segsum_cm_win`): every gathered-slot id in grid tile i
+    # lies in [win_starts[i], win_starts[i] + win_w).  win_w == 0 disables
+    # windowing (full-table one-hot dots).  Cuts the reconstruction /
+    # reduction MXU work by ~n_gathered/win_w on locality-rich graphs
+    # (corridor / city-scale BA) where consecutive ELL groups see nearby
+    # cameras; prepare() enables it only when the windows are narrow enough
+    # to pay and verifies the coverage invariant (bitwise-equal math — the
+    # one-hot still selects exactly one table row per factor).
+    win_starts: jnp.ndarray | None = None  # [n_tiles] int32, multiples of 8
+    win_w: int = flax.struct.field(pytree_node=False, default=0)
+    win_ncpad: int = flax.struct.field(pytree_node=False, default=0)
+    # Locality sort: graphs whose ELL-group order does not correlate with
+    # the gathered slot (random landmark numbering — real BAL files, the
+    # corridor sim) get their ELL GROUPS sorted by min gathered id at
+    # prepare time so the per-tile windows become narrow.  Factor-row
+    # arrays (z/prec/args/act/gidx and the resident factor state) live in
+    # sorted order; beliefs stay in USER variable order — the ELL-slot
+    # expand gathers by `eperm` (group position -> variable id) and the
+    # belief update un-permutes the reshape-sum with `epos` (variable id ->
+    # group position).  `rowperm` maps CM row -> fb row for the state
+    # converters.  All None when the natural order is already local enough.
+    eperm: jnp.ndarray | None = None  # [nv] int32 (pad positions -> n)
+    epos: jnp.ndarray | None = None  # [n_ell] int32
+    rowperm: jnp.ndarray | None = None  # [m] int32
 
     @property
     def fb(self):
@@ -114,12 +142,14 @@ def _cm2rm(a: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 def prepare(graph: Graph, gather_mode: str = "auto",
-            segsum_exact: bool = False) -> CMGraph | None:
+            segsum_exact: bool = False, window: bool = True) -> CMGraph | None:
     """Build the CM static data for `graph`, or None if ineligible.
 
     gather_mode "auto" picks 'table' (in-kernel VMEM belief table, the fast
     path — measured ~1.8x over 'rows' at 470k factors) when the packed
-    gathered-slot table fits VMEM, else 'rows'."""
+    gathered-slot table fits VMEM, else 'rows'.  window=True additionally
+    enables the per-tile camera-window table kernels when the graph has
+    camera locality (bitwise-equal; see CMGraph.win_w)."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
     if len(graph.fblocks) != 1:
@@ -158,28 +188,88 @@ def prepare(graph: Graph, gather_mode: str = "auto",
 
     dt = fb.z.dtype
     act = jnp.ones((m,), dt) if fb.valid is None else fb.valid.astype(dt)
-    gidx = fb.adj[g].astype(jnp.int32)
+    gidx_np = np.asarray(fb.adj[g], dtype=np.int32)
+
+    def _windows(gp):
+        """Per-grid-tile windows (starts, w, ncpad) of the edge-padded ids
+        `gp`, or None if too wide to pay.  The width adds SUB slack for the
+        8-aligned starts and rounds up to LANE."""
+        n_g = graph.vblocks[fb.vblocks[g]].count
+        ncpad = ((n_g + SUB - 1) // SUB) * SUB
+        tiles = gp.reshape(-1, TILE)  # grid step i = rows [i*TILE, (i+1)*TILE)
+        mins, maxs = tiles.min(1), tiles.max(1)
+        w = (int((maxs - mins).max()) + 1 + SUB + LANE - 1) // LANE * LANE
+        # Gate: the dots must shrink meaningfully, and the TRANSPOSED packed
+        # table (Mosaic pads its component lane dim to LANE) must leave VMEM
+        # room for the factor tiles.
+        if 2 * w > ncpad or ncpad * LANE * 4 > 6 * 1024 * 1024:
+            return None
+        starts = np.maximum(np.minimum(mins, ncpad - w), 0) // SUB * SUB
+        assert (maxs < starts + w).all() and (mins >= starts).all()
+        return starts, w, ncpad
+
+    edge_pad = lambda a: np.pad(a, (0, pad), mode="edge") if pad else a
+    win_starts, win_w, win_ncpad = None, 0, 0
+    eperm = epos = rowperm = None
+    if window and gather_mode == "table":
+        win = _windows(edge_pad(gidx_np))
+        if win is None:
+            # Natural group order is not gathered-slot-local (random
+            # landmark numbering — real BAL files, the corridor sim): sort
+            # the ELL groups (blocks of `deg` rows; the ELL build guarantees
+            # m == n_ell * deg) by min gathered id and retry.  The
+            # permutation only touches factor-row arrays — beliefs stay in
+            # variable order (see the CMGraph.eperm field comment).
+            n_ell = m // deg
+            gmin = gidx_np.reshape(n_ell, deg).min(1)
+            order = np.argsort(gmin, kind="stable")
+            rp = (order[:, None] * deg + np.arange(deg)).reshape(-1)
+            win = _windows(edge_pad(gidx_np[rp]))
+            if win is not None:
+                gidx_np = gidx_np[rp]
+                eperm = jnp.asarray(
+                    np.concatenate([order, np.full(nv - n_ell, n_ell)]),
+                    jnp.int32)
+                epos = jnp.asarray(np.argsort(order), jnp.int32)
+                rowperm = jnp.asarray(rp, jnp.int32)
+        if win is not None:
+            starts, w, ncpad = win
+            win_starts = jnp.asarray(starts, jnp.int32)
+            win_w, win_ncpad = int(w), int(ncpad)
+
+    rp_np = None if rowperm is None else np.asarray(rowperm)
+    perm = lambda a: a if rp_np is None else jnp.asarray(a)[rp_np]
+    # Edge-pad the gathered-slot ids: padded rows carry zero messages so any
+    # in-range id is inert, and the edge value keeps them inside their grid
+    # tile's camera window (required by the windowed table kernels).
+    gpad = edge_pad(gidx_np)
     to_cm = lambda a, fill=0.0: _rm2cm(
         jnp.pad(a if a.ndim == 2 else a[:, None],
                 ((0, pad), (0, 0)), constant_values=fill))
     args = fb.args
     n_args = COMP_FACTORS[fb.ftype.name][1]
     if args is not None and n_args:
-        args = to_cm(args.reshape(m, -1))
+        args = to_cm(perm(args.reshape(m, -1)))
     else:
         args = None
     return CMGraph(
         base=graph,
-        z=to_cm(fb.z),
-        prec=to_cm(fb.prec, fill=1.0),
+        z=to_cm(perm(fb.z)),
+        prec=to_cm(perm(fb.prec), fill=1.0),
         args=args,
-        act=to_cm(act),
-        gidx_cm=to_cm(gidx).astype(jnp.int32),
-        gidx_rm=jnp.pad(gidx, (0, pad)),
+        act=to_cm(perm(act)),
+        gidx_cm=_rm2cm(jnp.asarray(gpad)[:, None]).astype(jnp.int32),
+        gidx_rm=jnp.asarray(gpad),
         mp=mp,
         nv=nv,
         gather_mode=gather_mode,
         segsum_exact=segsum_exact,
+        win_starts=win_starts,
+        win_w=win_w,
+        win_ncpad=win_ncpad,
+        eperm=eperm,
+        epos=epos,
+        rowperm=rowperm,
     )
 
 
@@ -201,7 +291,8 @@ def init_state(cmg: CMGraph, means: tuple) -> CMState:
     )
     jac, r0 = sweep_mod.linearize_block(fb, x)
     dt = jac.dtype
-    to_cm = lambda a: _rm2cm(jnp.pad(a, ((0, pad), (0, 0))))
+    rp = lambda a: a if cmg.rowperm is None else a[cmg.rowperm]
+    to_cm = lambda a: _rm2cm(jnp.pad(rp(a), ((0, pad), (0, 0))))
     zeros = lambda f: jnp.zeros((f, t_tiles, LANE), dt)
     fstate = CMFactorState(
         lp=to_cm(x),
@@ -228,7 +319,15 @@ def _expand_ell(cmg: CMGraph, vs: VariableState):
     deg = fb.ell_deg
     n, d = vs.eta.shape
     pk = _pack_beliefs(vs)  # [n, F]
-    if cmg.nv > n:
+    if cmg.eperm is not None:
+        # Locality-sorted groups: group position p holds variable eperm[p]
+        # (pad positions hold the identity row appended at index n).
+        from gbp_tpu.gaussians import packed_identity_row
+
+        pk = jnp.concatenate(
+            [pk, packed_identity_row(d, pk.dtype)[None, :]], axis=0
+        )[cmg.eperm]
+    elif cmg.nv > n:
         from gbp_tpu.gaussians import packed_identity_row
 
         pad_row = packed_identity_row(d, pk.dtype)
@@ -256,7 +355,10 @@ def expand_means(cmg: CMGraph, state: CMState) -> jnp.ndarray:
     deg = fb.ell_deg
     t_tiles = cmg.mp // LANE
     me = vs_e.mean
-    if cmg.nv > me.shape[0]:
+    if cmg.eperm is not None:
+        me = jnp.concatenate(
+            [me, jnp.zeros((1, me.shape[1]), me.dtype)])[cmg.eperm]
+    elif cmg.nv > me.shape[0]:
         me = jnp.concatenate(
             [me, jnp.zeros((cmg.nv - me.shape[0], me.shape[1]), me.dtype)])
     cm_e = jnp.broadcast_to(
@@ -322,24 +424,48 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
 
         d_g = fb.dofs[g]
         pk = _pack_beliefs(vs_g)  # [n, 2d + d^2]
-        ncp = ((pk.shape[0] + LANE - 1) // LANE) * LANE
-        tab = jnp.swapaxes(
-            jnp.pad(pk, ((0, ncp - pk.shape[0]), (0, 0))), 0, 1)
-        btab = tab[: d_g + d_g * d_g]
-        mtab = tab[d_g + d_g * d_g :]
-        lp, jac, r0, srel = fused_relin_cm_tab(
-            params, mean_e, mtab, cmg.gidx_cm, cmg.z, cmg.args,
-            fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
-            d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
-            n_args=n_args, gslot=g, interpret=interp,
-        )
-        oe0, ol0, oe1, ol1 = fused_messages_cm_tab(
-            params, jac, lp, r0, cmg.prec, srel, cmg.act,
-            be_e, bl_e, btab, cmg.gidx_cm,
-            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-            d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
-            gslot=g, interpret=interp,
-        )
+        if cmg.win_w:
+            # Windowed fast path: the TRANSPOSED packed table (variables on
+            # sublanes) lets each grid tile reconstruct from its narrow
+            # camera window — bitwise-equal to the full-table dots.
+            from gbp_tpu.ops.messages_pallas import (
+                fused_messages_cm_tabwin,
+                fused_relin_cm_tabwin,
+            )
+
+            tabw = jnp.pad(pk, ((0, cmg.win_ncpad - pk.shape[0]), (0, 0)))
+            lp, jac, r0, srel = fused_relin_cm_tabwin(
+                params, cmg.win_starts, mean_e, tabw, cmg.gidx_cm, cmg.z,
+                cmg.args, fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
+                d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                n_args=n_args, gslot=g, win_w=cmg.win_w, interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tabwin(
+                params, cmg.win_starts, jac, lp, r0, cmg.prec, srel, cmg.act,
+                be_e, bl_e, tabw, cmg.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+                gslot=g, win_w=cmg.win_w, interpret=interp,
+            )
+        else:
+            ncp = ((pk.shape[0] + LANE - 1) // LANE) * LANE
+            tab = jnp.swapaxes(
+                jnp.pad(pk, ((0, ncp - pk.shape[0]), (0, 0))), 0, 1)
+            btab = tab[: d_g + d_g * d_g]
+            mtab = tab[d_g + d_g * d_g :]
+            lp, jac, r0, srel = fused_relin_cm_tab(
+                params, mean_e, mtab, cmg.gidx_cm, cmg.z, cmg.args,
+                fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
+                d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                n_args=n_args, gslot=g, interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tab(
+                params, jac, lp, r0, cmg.prec, srel, cmg.act,
+                be_e, bl_e, btab, cmg.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+                gslot=g, interpret=interp,
+            )
     else:
         be_g, bl_g, mean_g = _expand_gather(cmg, vs_g)
         by_slot = lambda a_e, a_g: (a_e, a_g) if e == 0 else (a_g, a_e)
@@ -379,7 +505,10 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
     sum_e = jnp.concatenate([
         me_e.reshape(d_e, cmg.nv, deg).sum(-1),
         ml_e.reshape(d_e * d_e, cmg.nv, deg).sum(-1),
-    ])[:, :n_e]
+    ])
+    # Locality-sorted groups: position sums back to variable order.
+    sum_e = (sum_e[:, :n_e] if cmg.epos is None
+             else jnp.take(sum_e, cmg.epos, axis=1))
     eta_e = vb_e.prior_eta + jnp.swapaxes(sum_e[:d_e], 0, 1)
     lam_e = vb_e.prior_lam + jnp.swapaxes(sum_e[d_e:], 0, 1).reshape(n_e, d_e, d_e)
     new_v[fb.vblocks[e]] = VariableState(
@@ -390,8 +519,13 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
     d_g = fb.dofs[g]
     vb_g = cmg.base.vblocks[fb.vblocks[g]]
     n_g = vb_g.count
-    sum_g = segsum_cm(me_g, ml_g, cmg.gidx_cm, n_seg=n_g,
-                      exact=cmg.segsum_exact, interpret=interp)
+    if cmg.win_w:
+        sum_g = segsum_cm_win(me_g, ml_g, cmg.gidx_cm, cmg.win_starts,
+                              n_seg=n_g, w=cmg.win_w,
+                              exact=cmg.segsum_exact, interpret=interp)
+    else:
+        sum_g = segsum_cm(me_g, ml_g, cmg.gidx_cm, n_seg=n_g,
+                          exact=cmg.segsum_exact, interpret=interp)
     eta_g = vb_g.prior_eta + jnp.swapaxes(sum_g[:d_g], 0, 1)
     lam_g = vb_g.prior_lam + jnp.swapaxes(sum_g[d_g:], 0, 1).reshape(n_g, d_g, d_g)
     new_v[fb.vblocks[g]] = VariableState(
@@ -421,8 +555,9 @@ def from_gbp_state(cmg: CMGraph, state: GBPState) -> CMState:
     m = fb.count
     pad = cmg.mp - m
     fs = state.f[0]
+    rp = lambda a: a if cmg.rowperm is None else a[cmg.rowperm]
     to_cm = lambda a: _rm2cm(jnp.pad(
-        a if a.ndim == 2 else a.reshape(m, -1), ((0, pad), (0, 0))))
+        rp(a if a.ndim == 2 else a.reshape(m, -1)), ((0, pad), (0, 0))))
     fstate = CMFactorState(
         lp=to_cm(fs.linpoint),
         jac=to_cm(fs.jac.reshape(m, -1)),
@@ -442,7 +577,9 @@ def to_gbp_state(cmg: CMGraph, state: CMState) -> GBPState:
     t = fb.tdof
     z = fb.z.shape[-1]
     fs = state.f
-    row = lambda a: _cm2rm(a, m)
+    inv = None if cmg.rowperm is None else jnp.argsort(cmg.rowperm)
+    row = (lambda a: _cm2rm(a, m)) if inv is None else (
+        lambda a: _cm2rm(a, m)[inv])
     fstate = sweep_mod.FactorState(
         linpoint=row(fs.lp),
         jac=row(fs.jac).reshape(m, z, t),

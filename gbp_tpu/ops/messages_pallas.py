@@ -68,22 +68,60 @@ def _table_rows(tab_ref, idx_ref, f):
     tab = tab_ref[...]  # [f, ncp]
     ncp = tab.shape[1]
     dn = (((1,), (0,)), ((), ()))
-    if tab.dtype == jnp.float32:
-        # Exact 3-pass split: the one-hot side is bf16-exact, so splitting
-        # ONLY the table into 3 bf16-exact chunks (8+8+8 mantissa bits)
-        # reproduces the f32 values while halving HIGHEST's 6 MXU passes.
-        hi = tab.astype(jnp.bfloat16).astype(jnp.float32)
-        r = tab - hi
-        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
-        parts = (hi, mid, r - mid)
-        prec = jax.lax.Precision.DEFAULT
-    else:
-        parts = (tab,)
-        prec = jax.lax.Precision.HIGHEST
+    # Exact 3-pass split: the one-hot side is bf16-exact, so splitting
+    # ONLY the table into 3 bf16-exact chunks (8+8+8 mantissa bits)
+    # reproduces the f32 values while halving HIGHEST's 6 MXU passes.
+    parts, prec = _split_f32(tab)
     cols = []
     for s in range(SUB):
         i_s = idx_ref[0, s : s + 1, :]  # [1, LANE]
         oh = (jax.lax.broadcasted_iota(jnp.int32, (ncp, LANE), 0) == i_s)
+        ohf = oh.astype(tab.dtype)
+        acc = None
+        for part in parts:
+            d = jax.lax.dot_general(part, ohf, dn,
+                                    preferred_element_type=tab.dtype,
+                                    precision=prec)
+            acc = d if acc is None else acc + d
+        cols.append(acc)  # [f, LANE]
+    stacked = jnp.stack(cols, axis=1)  # [f, SUB, LANE]
+    return [stacked[k] for k in range(f)]
+
+
+def _split_f32(tab):
+    """Exact 3-part bf16 mantissa split of an f32 operand (8+8+8 bits).
+
+    Dotting each part against a bf16-exact one-hot at DEFAULT precision and
+    summing reproduces the HIGHEST-precision f32 dot bitwise in half the MXU
+    passes (the one-hot picks a single addend, so the 3 partial products
+    recombine the exact mantissa)."""
+    if tab.dtype == jnp.float32:
+        hi = tab.astype(jnp.bfloat16).astype(jnp.float32)
+        r = tab - hi
+        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+        return (hi, mid, r - mid), jax.lax.Precision.DEFAULT
+    return (tab,), jax.lax.Precision.HIGHEST
+
+
+def _table_rows_win(tabw_ref, idx_ref, start, *, w, lo, f):
+    """Windowed `_table_rows` on a TRANSPOSED table: out[k][s, l] =
+    tabw[idx[s, l], lo + k].
+
+    tabw_ref is [ncpad, F_all] (variables on the SUBLANE dim, packed
+    components on lanes), so the per-tile camera window is one dynamic
+    sublane slice [w, f] — the one-hot dot contracts over w instead of the
+    full variable count, cutting the reconstruction MXU passes by ncp/w on
+    locality-rich graphs.  Requires every idx in this tile to fall inside
+    [start, start + w) (prepare() guarantees it or disables windowing).
+    Bitwise-equal to the full-table path: the one-hot still selects exactly
+    one row; the extra addends are exact zeros."""
+    tab = tabw_ref[pl.ds(start, w), lo:lo + f]  # [w, f]
+    parts, prec = _split_f32(tab)
+    dn = (((0,), (0,)), ((), ()))  # contract the window dim of both sides
+    cols = []
+    for s in range(SUB):
+        i_s = idx_ref[0, s : s + 1, :]  # [1, LANE]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 0) + start) == i_s
         ohf = oh.astype(tab.dtype)
         acc = None
         for part in parts:
@@ -497,6 +535,169 @@ def fused_relin_cm_tab(params, x_other, mtab, gidx, z_meas, fargs, linpoint,
       *cm_args2)
 
 
+def _win_start(params_ref):
+    """Per-grid-step window start, folded into the trailing columns of the
+    params SMEM row (params_ref[0, -n_tiles + g]).
+
+    Folded rather than passed as its own operand: pallas corrupts the LATER
+    OUTPUTS of this kernel when the total ref count reaches 20 (15 inputs +
+    1 extra + 4 outputs) — the same arrangement-sensitive class as the
+    round-1 fori-loop miscompile, and it reproduces even in interpret mode
+    (measured: adding ANY 16th input, SMEM or VMEM, NaNs oe1/ol1 on late
+    grid steps while oe0/ol0 stay bitwise-correct).  Folding keeps the win
+    kernels at the proven 19-ref arrangement."""
+    col = params_ref.shape[1] - pl.num_programs(0) + pl.program_id(0)
+    return params_ref[0, col].astype(jnp.int32)
+
+
+def _kernel_tab_win(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
+                    srel_ref, act_ref, be_o_ref, bl_o_ref, tabw_ref, idx_ref,
+                    me0_ref, ml0_ref, me1_ref, ml1_ref,
+                    oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                    *, d0, d1, z, prec_full, huber, gslot, win_w):
+    """_kernel_tab with the gathered slot reconstructed from a per-tile
+    camera WINDOW of the transposed packed table (see `_table_rows_win`)."""
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    dg = d1 if gslot == 1 else d0
+    start = _win_start(params_ref)
+    rows = _table_rows_win(tabw_ref, idx_ref, start,
+                           w=win_w, lo=0, f=dg + dg * dg)
+    be_g, bl_g = rows[:dg], rows[dg:]
+    if gslot == 1:
+        be0, bl0, be1, bl1 = be_o_ref, bl_o_ref, be_g, bl_g
+    else:
+        be0, bl0, be1, bl1 = be_g, bl_g, be_o_ref, bl_o_ref
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0, bl0, be1, bl1,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
+def _kernel_relin_tab_win(params_ref, xo_ref, tabw_ref, idx_ref,
+                          z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
+                          srel_ref, act_ref,
+                          olp_ref, ojac_ref, or0_ref, osrel_ref,
+                          *, d0, d1, z, comp_name, n_args, gslot, win_w):
+    """_kernel_relin_tab reading the gathered slot's means from the windowed
+    transposed table (mean components sit after eta|lam in the packed row);
+    window starts folded into params (see `_win_start`)."""
+    dg = d1 if gslot == 1 else d0
+    do = d0 + d1 - dg
+    xo = _comps(xo_ref, do)
+    start = _win_start(params_ref)
+    xg = _table_rows_win(tabw_ref, idx_ref, start,
+                         w=win_w, lo=dg + dg * dg, f=dg)
+    x = xo + xg if gslot == 1 else xg + xo
+    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+def _tabw_spec_of(tabw):
+    return pl.BlockSpec(tabw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "win_w",
+                     "interpret"),
+)
+def fused_messages_cm_tabwin(params, starts, jac, x0, r0, prec, since_relin,
+                             active, be_o, bl_o, tabw, gidx,
+                             me0, ml0, me1, ml1,
+                             *, d0, d1, z, prec_full, huber, gslot, win_w,
+                             interpret=False):
+    """fused_messages_cm_tab with per-tile camera windows: `tabw` is the
+    TRANSPOSED packed table [ncpad, 2*dg + dg^2] (eta|lam|mean) and
+    `starts` [n_tiles] int32 gives each grid step's window start (multiple
+    of 8; every gidx in tile i lies in [starts[i], starts[i] + win_w)).
+    The reconstruction dot contracts over win_w instead of the padded
+    variable count — the large-problem fast path on locality-rich graphs."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    # Window starts ride in the params row (see _win_start): exact in f32
+    # (the 6 MB table gate bounds ncpad far below 2^24).
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
+    cm_args = [jac, x0, r0, prec, since_relin, active, be_o, bl_o]
+    msg_args = [me0, ml0, me1, ml1]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args]
+        + [_tabw_spec_of(tabw), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in msg_args]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(
+        _kernel_tab_win, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=None if huber is None else float(huber), gslot=gslot,
+        win_w=win_w,
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, *cm_args, tabw.astype(dt), gidx, *msg_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot", "win_w",
+                     "interpret"),
+)
+def fused_relin_cm_tabwin(params, starts, x_other, tabw, gidx, z_meas, fargs,
+                          linpoint, jac, r0, since_relin, active,
+                          *, d0, d1, z, comp_name, n_args, gslot, win_w,
+                          interpret=False):
+    """fused_relin_cm_tab with the gathered slot's means from the windowed
+    transposed packed table (see fused_messages_cm_tabwin)."""
+    dt = x_other.dtype
+    t = d0 + d1
+    t_tiles = x_other.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
+    cm_args1 = [x_other]
+    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args1]
+        + [_tabw_spec_of(tabw), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in cm_args2]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(_kernel_relin_tab_win, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args,
+                               gslot=gslot, win_w=win_w)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, x_other, tabw.astype(dt), gidx, *cm_args2)
+
+
 def _kernel_segsum(me_ref, ml_ref, idx_ref, out_ref, *, d, ncp, exact):
     """Per-sublane one-hot MXU reduction: out[f, k] = sum_p comp_f[p] [id_p=k].
 
@@ -582,6 +783,84 @@ def segsum_cm(me, ml, idx, *, n_seg, exact=False, interpret=False):
         interpret=interpret,
     )(me, ml, idx)
     return out[:, :n_seg]
+
+
+def _kernel_segsum_win(starts_ref, me_ref, ml_ref, idx_ref, out_ref,
+                       *, d, w, exact):
+    """Windowed `_kernel_segsum` on a TRANSPOSED accumulator out [ncpad, f]:
+    each grid step read-modify-writes only its tile's camera window
+    out[start : start + w, :] — the one-hot dot is [w, LANE] x [f, LANE]^T
+    instead of [ncp, LANE], cutting the reduction MXU passes by ncp/w."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    start = starts_ref[g]
+    acc = out_ref[pl.ds(start, w), :]  # [w, f]
+    dn = (((1,), (1,)), ((), ()))  # contract the LANE dim of both sides
+    for s in range(SUB):
+        sub = jnp.concatenate([me_ref[:, s, :], ml_ref[:, s, :]], axis=0)
+        i_s = idx_ref[0, s : s + 1, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 0) + start) == i_s
+        if exact and sub.dtype == jnp.float32:
+            parts, _ = _split_f32(sub)
+            ohf = oh.astype(jnp.float32)
+            for part in parts:
+                acc = acc + jax.lax.dot_general(
+                    ohf, part, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+        elif exact:
+            acc = acc + jax.lax.dot_general(
+                oh.astype(sub.dtype), sub, dn,
+                preferred_element_type=acc.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            # hi/lo bf16 split, as in _kernel_segsum's default mode.
+            ohf = oh.astype(jnp.float32)
+            hi = sub.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = (sub - hi).astype(jnp.bfloat16).astype(jnp.float32)
+            for part in (hi, lo):
+                acc = acc + jax.lax.dot_general(
+                    ohf, part, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+    out_ref[pl.ds(start, w), :] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_seg", "w", "exact", "interpret"))
+def segsum_cm_win(me, ml, idx, starts, *, n_seg, w, exact=False,
+                  interpret=False):
+    """segsum_cm with per-tile camera windows (see fused_messages_cm_tabwin
+    for the window contract).  Returns [d + d*d, n_seg] like segsum_cm; the
+    kernel accumulates transposed and the cheap [ncpad, f] -> [f, n_seg]
+    transpose happens outside."""
+    d = me.shape[0]
+    f = d + ml.shape[0]
+    t_tiles = me.shape[1]
+    dt = me.dtype
+    if dt != jnp.float32:
+        exact = True  # the bf16 split only makes sense for f32 operands
+    ncpad = ((n_seg + SUB - 1) // SUB) * SUB
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+
+    def cm_spec(a):
+        return pl.BlockSpec((a.shape[0], SUB, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_segsum_win, d=d, w=w, exact=exact),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  cm_spec(me), cm_spec(ml), cm_spec(idx)],
+        out_specs=pl.BlockSpec((ncpad, f), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncpad, f), dt),
+        interpret=interpret,
+    )(starts, me, ml, idx)
+    return jnp.swapaxes(out[:n_seg], 0, 1)
 
 
 @functools.partial(

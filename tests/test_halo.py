@@ -31,6 +31,31 @@ def test_halo_ba_matches_single_device():
             got[vbi], np.asarray(single.v[vbi].mean), rtol=1e-9, atol=1e-11)
 
 
+def test_halo_ba_intrinsics_matches_single_device():
+    """9-dof intrinsics cameras (beyond-reference) under the halo partition:
+    the owner-sharded sweep must reproduce the single-device result for the
+    wider camera block too (pins dof-agnostic exchange packing)."""
+    import os
+    from gbp_tpu.io import bal as balio
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "data")
+    problem = balio.prune(balio.read_bal(os.path.join(data, "toy_ba.txt")))
+    sim = balio.to_sim(problem, pix_sigma=1.0)
+    sim["intrinsics"] = sim["intrinsics"] * np.array([1.05, 1.0, 1.0])
+    graph, means, _ = ba.build_bal(sim, dtype=jnp.float64, layout="none",
+                                   optimize_intrinsics=True)
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8)
+    single = _single(graph, means, cfg, 30)
+
+    mesh = sharding.make_mesh(8)
+    hp, st, run_halo = halo.distribute(graph, means, mesh)
+    out = run_halo(hp.hgraph, st, cfg, 30)
+    got = halo.collect_means(hp, out)
+    for vbi in range(2):
+        np.testing.assert_allclose(
+            got[vbi], np.asarray(single.v[vbi].mean), rtol=1e-9, atol=1e-11)
+
+
 def test_halo_pose_graph_matches_single_device():
     sim = pose_graph.simulate_manhattan(n_poses=64, seed=4, loop_prob=0.5,
                                         loop_radius=3.0)
