@@ -96,6 +96,81 @@ def test_ba_converges_on_chip():
     assert np.isfinite(are) and are < 3.0, are
 
 
+def _merged_blocks(k=8, n_cams=40, lmks_per_cam=20, seed=0, shuffle=False):
+    """k independent corridor blocks merged into one 320-camera graph: an
+    f32-stable locality scene (each block is the proven 40-cam config).
+    shuffle=True randomizes the landmark numbering so the windowed table
+    path must engage via the locality SORT (real-BAL-file conditions)."""
+    sims = [ba.simulate_corridor(n_cams=n_cams, lmks_per_cam=lmks_per_cam,
+                                 window=3, seed=seed + i) for i in range(k)]
+    out = {}
+    for key in ("cam_truth", "cam_init", "lmk_truth", "lmk_init", "obs"):
+        out[key] = np.concatenate([s[key] for s in sims])
+    cam_ids, lmk_ids, co, lo = [], [], 0, 0
+    for s in sims:
+        cam_ids.append(s["cam_ids"] + co)
+        lmk_ids.append(s["lmk_ids"] + lo)
+        co += s["cam_init"].shape[0]
+        lo += s["lmk_init"].shape[0]
+    out["cam_ids"] = np.concatenate(cam_ids)
+    out["lmk_ids"] = np.concatenate(lmk_ids)
+    out["k"] = sims[0]["k"]
+    out["pix_sigma"] = sims[0]["pix_sigma"]
+    if shuffle:
+        rng = np.random.default_rng(seed + 99)
+        perm = rng.permutation(lo)
+        inv = np.argsort(perm)
+        out["lmk_truth"] = out["lmk_truth"][perm]
+        out["lmk_init"] = out["lmk_init"][perm]
+        out["lmk_ids"] = inv[out["lmk_ids"]]
+    return out
+
+
+def test_cm_window_matches_full_table_on_chip():
+    """Camera-window table kernels ON CHIP (Mosaic lowering of the dynamic
+    table slices + folded window starts): windowed == full-table bitwise on
+    a presorted locality scene, and to rounding tolerance when the
+    locality SORT engages (the row permutation reorders the segsum
+    accumulation)."""
+    sim = _merged_blocks()
+    graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
+                            lmk_prior_prec=1000.0)
+    outs = {}
+    for window in (False, True):
+        cmg = sweep_cm.prepare(graph, window=window, segsum_exact=True)
+        if window:
+            assert cmg.win_w > 0 and cmg.eperm is None
+        outs[window] = jax.jit(sweep_cm.run, static_argnums=3)(
+            cmg, sweep_cm.init_state(cmg, means), CFG, 12)
+    # CPU interpret mode gives bitwise 0.0 here; on chip the windowed
+    # segsum's different dot orientation may round camera-lam sums at the
+    # f32 ulp level, so assert a tight tolerance rather than bit-equality.
+    for vi in range(2):
+        np.testing.assert_allclose(
+            np.asarray(outs[True].v[vi].mean),
+            np.asarray(outs[False].v[vi].mean), rtol=1e-4, atol=1e-4)
+
+    # Shuffled landmark numbering -> the locality SORT must engage.  The
+    # row permutation reorders the f32 segsum accumulation and the early-BA
+    # knife-edge amplifies that to a few 1e-2 by sweep 8 (measured on CPU;
+    # exactness is pinned by the unshuffled leg above) — this leg is a
+    # wiring check: wrong table rows would give O(1) garbage or NaN.
+    sim = _merged_blocks(shuffle=True)
+    graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
+                            lmk_prior_prec=1000.0)
+    outs = {}
+    for window in (False, True):
+        cmg = sweep_cm.prepare(graph, window=window, segsum_exact=True)
+        if window:
+            assert cmg.win_w > 0 and cmg.eperm is not None
+        outs[window] = jax.jit(sweep_cm.run, static_argnums=3)(
+            cmg, sweep_cm.init_state(cmg, means), CFG, 8)
+    for vi in range(2):
+        np.testing.assert_allclose(
+            np.asarray(outs[True].v[vi].mean),
+            np.asarray(outs[False].v[vi].mean), rtol=0.1, atol=0.1)
+
+
 def test_halo_cm_on_chip_single_mesh():
     """The CM-under-halo sweep compiles and matches plain CM ON CHIP with a
     1-chip mesh (all exchange machinery inline; Mosaic sees the kernels
