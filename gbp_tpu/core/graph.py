@@ -67,6 +67,11 @@ class FactorBlock(flax.struct.PyTreeNode):
     # Padding mask: False rows are structural dummies (device-count padding);
     # their messages stay zero and they contribute nothing to energy.
     valid: jnp.ndarray | None = None
+    # Per-factor Huber thresholds [m] (0 = robustification off for that
+    # factor); lets one block mix robust and non-robust factors (merged
+    # odometry + loop-closure pose-graph blocks).  Mutually exclusive with
+    # the static `huber`.
+    huber_arr: jnp.ndarray | None = None
     ftype: FactorType = flax.struct.field(pytree_node=False, default=None)
     vblocks: tuple = flax.struct.field(pytree_node=False, default=())  # vblock idx per slot
     dofs: tuple = flax.struct.field(pytree_node=False, default=())  # dof per slot
@@ -214,7 +219,10 @@ class GraphBuilder:
 
         connections: list of (vblock_handle, idx_array [m]) — one per slot.
         z: [m, zdim] measurements.  sigma: measurement std (scalar / [m] /
-        [m, zdim]) or pass `prec` directly.  huber: Mahalanobis threshold.
+        [m, zdim]) or pass `prec` directly.  huber: Mahalanobis threshold —
+        a scalar for the whole block, or a per-factor [m] array (0 entries
+        disable robustification for those factors; lets one block mix
+        robust loop closures with non-robust odometry).
         """
         z = np.asarray(z, dtype=np.float64)
         m = z.shape[0]
@@ -230,9 +238,14 @@ class GraphBuilder:
         conns = [(int(vb), np.asarray(idx, dtype=np.int32)) for vb, idx in connections]
         for _, idx in conns:
             assert idx.shape == (m,), f"adjacency shape {idx.shape} != ({m},)"
+        huber_arr = None
+        if huber is not None and np.ndim(huber) > 0:
+            huber_arr = np.asarray(huber, dtype=np.float64)
+            assert huber_arr.shape == (m,), huber_arr.shape
+            huber = None
         self._fblocks.append(
             dict(name=name, ftype=ftype, conns=conns, z=z, prec=prec, args=args,
-                 huber=huber)
+                 huber=huber, huber_arr=huber_arr)
         )
         return len(self._fblocks) - 1
 
@@ -299,6 +312,8 @@ class GraphBuilder:
         out["prec"] = fb["prec"][src]
         if fb["args"] is not None:
             out["args"] = np.asarray(fb["args"])[src]
+        if fb.get("huber_arr") is not None:
+            out["huber_arr"] = fb["huber_arr"][src]
         out["valid"] = valid
         return out, k, d_max
 
@@ -360,6 +375,8 @@ class GraphBuilder:
                     prec=jnp.asarray(fb["prec"], dtype=dt),
                     args=args,
                     valid=None if valid is None else jnp.asarray(valid),
+                    huber_arr=None if fb.get("huber_arr") is None
+                    else jnp.asarray(fb["huber_arr"], dtype=dt),
                     ftype=fb["ftype"],
                     vblocks=vb_ids,
                     dofs=dofs,

@@ -177,13 +177,15 @@ def huber_weight(fb: FactorBlock, r0: jnp.ndarray) -> jnp.ndarray:
     w = 2T/M - T^2/M^2 for M > T else 1, which makes the scaled quadratic
     energy equal the Huber cost (arXiv:1910.14139 §5.4 eq.(19-21)).
     """
-    if fb.huber is None:
+    if fb.huber is None and fb.huber_arr is None:
         return jnp.ones(r0.shape[0], dtype=r0.dtype)
     m2 = _mahalanobis_sq(fb.prec, r0)
     m = jnp.sqrt(jnp.maximum(m2, 1e-12))
-    t = jnp.asarray(fb.huber, dtype=r0.dtype)
+    t = (fb.huber_arr.astype(r0.dtype) if fb.huber_arr is not None
+         else jnp.asarray(fb.huber, dtype=r0.dtype))
     w = 2.0 * t / m - (t * t) / (m * m)
-    return jnp.where(m > t, w, 1.0)
+    # t == 0 rows (per-factor robustification off) keep weight 1.
+    return jnp.where((m > t) & (t > 0), w, 1.0)
 
 
 def gather_linpoint(graph: Graph, state: GBPState, fi: int) -> jnp.ndarray:
@@ -349,6 +351,20 @@ def _kernel_params(cfg: GBPConfig, dt) -> jnp.ndarray:
     ])
 
 
+def _prec_huber_operand(fb: FactorBlock):
+    """(prec 2-D operand, static huber) for the Pallas kernels.
+
+    Per-factor thresholds (fb.huber_arr) ride as an extra trailing column of
+    the prec operand — no new kernel ref (see ops/messages_pallas._win_start
+    for why the ref count must not grow) — with huber static set to 'row'."""
+    prec = fb.prec.reshape(fb.count, -1) if fb.prec.ndim == 3 else fb.prec
+    if fb.huber_arr is None:
+        return prec, fb.huber
+    assert fb.prec.ndim == 2, "per-factor huber requires diagonal prec"
+    return (jnp.concatenate(
+        [prec, fb.huber_arr[:, None].astype(prec.dtype)], axis=1), "row")
+
+
 def _messages_fused(fb: FactorBlock, fs: FactorState, beliefs: tuple,
                     cfg: GBPConfig, active: jnp.ndarray | None) -> FactorState:
     """Covariance-form messages + damping + masking in one Pallas kernel
@@ -362,16 +378,17 @@ def _messages_fused(fb: FactorBlock, fs: FactorState, beliefs: tuple,
     dt = fs.r0.dtype
     params = _kernel_params(cfg, dt)
     act = jnp.ones((m,), dt) if active is None else active
+    prec_op, huber = _prec_huber_operand(fb)
     oe0, ol0, oe1, ol1 = fused_messages(
         params,
         fs.jac.reshape(m, -1), fs.linpoint, fs.r0,
-        fb.prec.reshape(m, -1) if fb.prec.ndim == 3 else fb.prec,
+        prec_op,
         fs.since_relin, act,
         beliefs[0].eta, beliefs[0].lam.reshape(m, -1),
         beliefs[1].eta, beliefs[1].lam.reshape(m, -1),
         fs.msg_eta[0], fs.msg_lam[0].reshape(m, -1),
         fs.msg_eta[1], fs.msg_lam[1].reshape(m, -1),
-        d0=d0, d1=d1, z=z, prec_full=fb.prec.ndim == 3, huber=fb.huber,
+        d0=d0, d1=d1, z=z, prec_full=fb.prec.ndim == 3, huber=huber,
         interpret=jax.default_backend() == "cpu",
     )
     return fs.replace(
@@ -385,11 +402,13 @@ def _use_fused_relin(cfg: GBPConfig, fb: FactorBlock) -> bool:
     available when the factor type has a component-form measurement model."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
+    entry = COMP_FACTORS.get(fb.ftype.name)
     return (
         cfg.message_form == "pallas"
         and len(fb.dofs) == 2
-        and fb.ftype.residual_fn is None
-        and fb.ftype.name in COMP_FACTORS
+        and entry is not None
+        # custom residuals need a component form in the registry
+        and (fb.ftype.residual_fn is None or len(entry) > 2)
     )
 
 
@@ -408,17 +427,18 @@ def _fused_relin_messages(fb: FactorBlock, fs: FactorState, beliefs: tuple,
     n_args = COMP_FACTORS[fb.ftype.name][1]
     params = _kernel_params(cfg, dt)
     act = jnp.ones((m,), dt) if active is None else active
+    prec_op, huber = _prec_huber_operand(fb)
     outs = fused_relin_messages(
         params, x, fb.z,
         None if n_args == 0 else fb.args,
         fs.linpoint, fs.jac.reshape(m, -1), fs.r0,
-        fb.prec.reshape(m, -1) if fb.prec.ndim == 3 else fb.prec,
+        prec_op,
         fs.since_relin, act,
         beliefs[0].eta, beliefs[0].lam.reshape(m, -1),
         beliefs[1].eta, beliefs[1].lam.reshape(m, -1),
         fs.msg_eta[0], fs.msg_lam[0].reshape(m, -1),
         fs.msg_eta[1], fs.msg_lam[1].reshape(m, -1),
-        d0=d0, d1=d1, z=z, prec_full=fb.prec.ndim == 3, huber=fb.huber,
+        d0=d0, d1=d1, z=z, prec_full=fb.prec.ndim == 3, huber=huber,
         comp_name=fb.ftype.name, n_args=n_args,
         interpret=jax.default_backend() == "cpu",
     )
@@ -633,12 +653,14 @@ def energy(graph: Graph, state: GBPState) -> jnp.ndarray:
         h = _vmap_factor(fb.ftype.meas, x, fb.args)
         r = jax.vmap(fb.ftype.residual)(fb.z, h)
         m2 = _mahalanobis_sq(fb.prec, r)
-        if fb.huber is None:
+        if fb.huber is None and fb.huber_arr is None:
             e = 0.5 * m2
         else:
             mm = jnp.sqrt(jnp.maximum(m2, 1e-12))
-            t = jnp.asarray(fb.huber, dtype=mm.dtype)
-            e = jnp.where(mm > t, t * mm - 0.5 * t * t, 0.5 * m2)
+            t = (fb.huber_arr.astype(mm.dtype) if fb.huber_arr is not None
+                 else jnp.asarray(fb.huber, dtype=mm.dtype))
+            e = jnp.where((mm > t) & (t > 0),
+                          t * mm - 0.5 * t * t, 0.5 * m2)
         if fb.valid is not None:
             e = jnp.where(fb.valid, e, 0.0)
         total = total + jnp.sum(e)

@@ -23,8 +23,13 @@ sweeps, so the hot loop is:
 
 Eligibility (falls back to core/sweep.py otherwise): a single 2-slot factor
 block in ELL layout with a component-form measurement model
-(ops/comp_factors.py) and diagonal measurement precision — which covers the
-flagship BA problems (reference: the `ba.py` hot loop, SURVEY.md §3.1).
+(ops/comp_factors.py; custom residuals — angle wrap / manifold log — need a
+component residual in the registry) and diagonal measurement precision.
+The two slots may reference the SAME variable block (pose-graph between
+factors): the belief update then combines the ELL reshape-sum and the
+segsum onto the one block.  Covers the flagship BA problems (the `ba.py`
+hot loop, SURVEY.md §3.1) and SE(2)/SE(3) pose-graph SLAM (merged
+odometry+loop blocks with per-factor Huber, models/pose_graph.build).
 
 Semantics are identical to sweep.py with message_form='pallas' (same kernels,
 same masked relinearization/Huber/damping); `to_gbp_state` converts for
@@ -155,13 +160,14 @@ def prepare(graph: Graph, gather_mode: str = "auto",
     if len(graph.fblocks) != 1:
         return None
     fb = graph.fblocks[0]
+    entry = COMP_FACTORS.get(fb.ftype.name)
     if (
         len(fb.dofs) != 2
-        or fb.vblocks[0] == fb.vblocks[1]  # distinct blocks: the belief
-        # update writes each slot's vblock separately and would clobber
         or fb.ell_slot is None
-        or fb.ftype.residual_fn is not None
-        or fb.ftype.name not in COMP_FACTORS
+        or entry is None
+        # custom residuals (angle wrap / manifold log) need a component
+        # form in the registry (3rd entry) for the in-kernel relin
+        or (fb.ftype.residual_fn is not None and len(entry) < 3)
         or fb.prec.ndim != 2
     ):
         return None
@@ -252,10 +258,15 @@ def prepare(graph: Graph, gather_mode: str = "auto",
         args = to_cm(perm(args.reshape(m, -1)))
     else:
         args = None
+    # Per-factor Huber thresholds ride as an extra trailing prec component
+    # (see core/sweep._prec_huber_operand); pad fill 1.0 keeps pad rows'
+    # weight math finite (they are act-masked anyway).
+    prec_host = fb.prec if fb.huber_arr is None else jnp.concatenate(
+        [fb.prec, fb.huber_arr[:, None].astype(fb.prec.dtype)], axis=1)
     return CMGraph(
         base=graph,
         z=to_cm(perm(fb.z)),
-        prec=to_cm(perm(fb.prec), fill=1.0),
+        prec=to_cm(perm(prec_host), fill=1.0),
         args=args,
         act=to_cm(perm(act)),
         gidx_cm=_rm2cm(jnp.asarray(gpad)[:, None]).astype(jnp.int32),
@@ -414,6 +425,9 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
     be_e, bl_e, mean_e = _expand_ell(cmg, vs_e)
     fs = state.f
     n_args = COMP_FACTORS[fb.ftype.name][1]
+    # 'row' = per-factor thresholds in the trailing prec component
+    # (prepare() appended them when fb.huber_arr is set).
+    huber = "row" if fb.huber_arr is not None else fb.huber
     if cmg.gather_mode == "table":
         # Gathered-slot beliefs never touch HBM in expanded form: the packed
         # table goes to kernel VMEM, rows are one-hot-MXU-reconstructed.
@@ -444,7 +458,7 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
                 params, cmg.win_starts, jac, lp, r0, cmg.prec, srel, cmg.act,
                 be_e, bl_e, tabw, cmg.gidx_cm,
                 fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-                d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
                 gslot=g, win_w=cmg.win_w, interpret=interp,
             )
         else:
@@ -463,7 +477,7 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
                 params, jac, lp, r0, cmg.prec, srel, cmg.act,
                 be_e, bl_e, btab, cmg.gidx_cm,
                 fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-                d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
                 gslot=g, interpret=interp,
             )
     else:
@@ -484,7 +498,7 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
             params, jac, lp, r0, cmg.prec, srel, cmg.act,
             be0, bl0, be1, bl1,
             fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-            d0=d0, d1=d1, z=zdim, prec_full=False, huber=fb.huber,
+            d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
             interpret=interp,
         )
     fs = CMFactorState(lp=lp, jac=jac, r0=r0, srel=srel,
@@ -509,11 +523,6 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
     # Locality-sorted groups: position sums back to variable order.
     sum_e = (sum_e[:, :n_e] if cmg.epos is None
              else jnp.take(sum_e, cmg.epos, axis=1))
-    eta_e = vb_e.prior_eta + jnp.swapaxes(sum_e[:d_e], 0, 1)
-    lam_e = vb_e.prior_lam + jnp.swapaxes(sum_e[d_e:], 0, 1).reshape(n_e, d_e, d_e)
-    new_v[fb.vblocks[e]] = VariableState(
-        eta=eta_e, lam=lam_e, mean=scaled_sym_solve(lam_e, eta_e)
-    )
 
     # Gathered slot: one-hot MXU segment-sum over the CM messages in place.
     d_g = fb.dofs[g]
@@ -526,6 +535,25 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
     else:
         sum_g = segsum_cm(me_g, ml_g, cmg.gidx_cm, n_seg=n_g,
                           exact=cmg.segsum_exact, interpret=interp)
+
+    if fb.vblocks[e] == fb.vblocks[g]:
+        # Same-block 2-slot factors (pose graphs): both slots' messages land
+        # on the one variable block — prior + ELL reshape-sum + segsum.
+        eta = (vb_e.prior_eta + jnp.swapaxes(sum_e[:d_e], 0, 1)
+               + jnp.swapaxes(sum_g[:d_e], 0, 1))
+        lam = (vb_e.prior_lam
+               + jnp.swapaxes(sum_e[d_e:], 0, 1).reshape(n_e, d_e, d_e)
+               + jnp.swapaxes(sum_g[d_e:], 0, 1).reshape(n_e, d_e, d_e))
+        new_v[fb.vblocks[e]] = VariableState(
+            eta=eta, lam=lam, mean=scaled_sym_solve(lam, eta)
+        )
+        return CMState(v=tuple(new_v), f=fs)
+
+    eta_e = vb_e.prior_eta + jnp.swapaxes(sum_e[:d_e], 0, 1)
+    lam_e = vb_e.prior_lam + jnp.swapaxes(sum_e[d_e:], 0, 1).reshape(n_e, d_e, d_e)
+    new_v[fb.vblocks[e]] = VariableState(
+        eta=eta_e, lam=lam_e, mean=scaled_sym_solve(lam_e, eta_e)
+    )
     eta_g = vb_g.prior_eta + jnp.swapaxes(sum_g[:d_g], 0, 1)
     lam_g = vb_g.prior_lam + jnp.swapaxes(sum_g[d_g:], 0, 1).reshape(n_g, d_g, d_g)
     new_v[fb.vblocks[g]] = VariableState(

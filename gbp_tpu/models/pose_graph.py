@@ -95,6 +95,8 @@ def build(
     anchor_prec=1e6,
     prior_prec=1e-5,
     dtype=jnp.float32,
+    merged=True,
+    layout="none",
 ):
     """Build the pose-graph; returns (graph, init_means).
 
@@ -102,12 +104,36 @@ def build(
     prior at their initial estimate for numerical stability (SURVEY.md C9).
     Loop closures are Huber-robustified; odometry is not (matching standard
     SLAM practice and arXiv:2003.03134 §3.4's use of Huber on loopy factors).
+
+    merged=True (default) emits odometry + loop closures as ONE factor block
+    with per-factor Huber thresholds (0 = off for odometry); merged=False
+    keeps the two-block layout.  For the component-major fast path
+    (core/sweep_cm.py) pass layout='ell' as well — it needs both the merged
+    block and the ELL row grouping.
     """
     init = np.asarray(sim["init"])
     n = init.shape[0]
     b = GraphBuilder(dtype=dtype)
     v = b.add_variables("pose", init, prior_prec=prior_prec)
     b.set_prior(v, 0, init[0], anchor_prec)
+    n_loop = sim["loop_ij"].shape[0]
+    if merged and n_loop:
+        ij = np.concatenate([sim["odom_ij"], sim["loop_ij"]])
+        z = np.concatenate([sim["odom_z"], sim["loop_z"]])
+        sigma = np.concatenate([
+            np.broadcast_to(sim["odom_sigma"], sim["odom_z"].shape),
+            np.broadcast_to(sim["loop_sigma"], sim["loop_z"].shape),
+        ])
+        hub = None
+        if huber is not None:
+            hub = np.concatenate([
+                np.zeros(sim["odom_z"].shape[0]),
+                np.full(n_loop, float(huber)),
+            ])
+        b.add_factors("between", odometry.se2_between(),
+                      [(v, ij[:, 0]), (v, ij[:, 1])], z, sigma=sigma,
+                      huber=hub)
+        return b.build(layout=layout)
     b.add_factors(
         "odom",
         odometry.se2_between(),
@@ -115,7 +141,7 @@ def build(
         sim["odom_z"],
         sigma=np.broadcast_to(sim["odom_sigma"], sim["odom_z"].shape),
     )
-    if sim["loop_ij"].shape[0]:
+    if n_loop:
         b.add_factors(
             "loop",
             odometry.se2_between(),
@@ -124,7 +150,7 @@ def build(
             sigma=np.broadcast_to(sim["loop_sigma"], sim["loop_z"].shape),
             huber=huber,
         )
-    return b.build()
+    return b.build(layout=layout)
 
 
 def build_g2o(
@@ -133,12 +159,16 @@ def build_g2o(
     anchor_prec=1e6,
     prior_prec=1e-5,
     dtype=jnp.float32,
+    layout="none",
 ):
     """Build a pose graph from a parsed g2o file (io.g2o.read_g2o dict).
 
     Handles both SE(2) ([x, y, theta] poses, se2_between factors) and SE(3)
     ([t, omega] poses, se3_between factors) with the file's full per-edge
-    information matrices.  Pose 0 anchored; returns (graph, init_means).
+    information matrices.  Exactly-diagonal information matrices (common in
+    g2o datasets) are collapsed to diagonal precision, which makes the graph
+    eligible for the component-major fast path (core/sweep_cm.py) under
+    layout='ell'.  Pose 0 anchored; returns (graph, init_means).
     """
     init = np.asarray(data["poses"])
     b = GraphBuilder(dtype=dtype)
@@ -152,11 +182,16 @@ def build_g2o(
         ftype = se3.se3_between()
     ij = np.asarray(data["edges_ij"])
     if ij.shape[0]:
+        prec = np.asarray(data["edges_info"])
+        if prec.ndim == 3:
+            diag = np.einsum("mii->mi", prec)
+            if (prec == diag[:, :, None] * np.eye(prec.shape[-1])).all():
+                prec = diag
         b.add_factors(
             "between", ftype, [(v, ij[:, 0]), (v, ij[:, 1])],
-            data["edges_z"], prec=np.asarray(data["edges_info"]), huber=huber,
+            data["edges_z"], prec=prec, huber=huber,
         )
-    return b.build()
+    return b.build(layout=layout)
 
 
 def default_config():

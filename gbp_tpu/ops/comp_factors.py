@@ -187,9 +187,130 @@ def bal_reprojection_intrinsics_comp(x, args):
     return h, jac
 
 
-# ftype.name -> (comp fn, n_arg_components)
+def _so3_log(r):
+    """Component so3_log mirroring utils/lie.so3_log numerics:
+    [3][3] component matrix -> [3] axis-angle components."""
+    trace = r[0][0] + r[1][1] + r[2][2]
+    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    vee = [r[2][1] - r[1][2], r[0][2] - r[2][0], r[1][0] - r[0][1]]
+    small = jnp.abs(theta) < 1e-4
+    scale = jnp.where(
+        small, 0.5 + theta * theta / 12.0,
+        theta / (2.0 * jnp.where(small, 1.0, jnp.sin(theta))))
+    return [scale * v for v in vee]
+
+
+def _right_jacobian_inv(w):
+    """Jr(w)^-1 = I + [w]x/2 + c [w]x^2 with c = 1/t2 - cot(t/2)/(2t)
+    (the (1+cos)/(2 t sin) form rewritten via cot(t/2) so it is finite at
+    t = pi); series 1/12 + t2/720 for small angles."""
+    t2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    small = t2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(safe_t2)
+    c = jnp.where(
+        small, 1.0 / 12.0 + t2 / 720.0,
+        1.0 / safe_t2 - 1.0 / (2.0 * theta * jnp.tan(theta / 2.0)))
+    k = _hat(w)
+    kk = cl.cmm(k, k)
+    one = jnp.ones_like(w[0])
+    j = [[0.5 * k[i][jj] + c * kk[i][jj] for jj in range(3)]
+         for i in range(3)]
+    for i in range(3):
+        j[i][i] = j[i][i] + one
+    return j
+
+
+def se3_between_comp(x, args):
+    """Component form of factors/se3.se3_between.
+
+    x = [t_i (3), w_i (3), t_j (3), w_j (3)]; h = [R_i^T (t_j - t_i),
+    log(R_i^T R_j)]; analytic [6][12] Jacobian in the flat
+    additive-update convention (exp(w + dw) = exp(w) exp(Jr(w) dw)):
+
+        dh_t/dt_i = -R_i^T          dh_t/dt_j = R_i^T
+        dh_t/dw_i = [h_t]x Jr(w_i)  dh_t/dw_j = 0
+        dh_w/dw_i = -Jl^-1(h_w) Jr(w_i) = -(Jr^-1(h_w))^T Jr(w_i)
+        dh_w/dw_j =  Jr^-1(h_w) Jr(w_j)
+    """
+    del args
+    ti, wi = x[0:3], x[3:6]
+    tj, wj = x[6:9], x[9:12]
+    rit = cl.ct(_so3_exp(wi))
+    rj = _so3_exp(wj)
+    d = [tj[k] - ti[k] for k in range(3)]
+    ht = cl.cmv(rit, d)
+    hw = _so3_log(cl.cmm(rit, rj))
+    jr_i = _right_jacobian(wi)
+    jr_j = _right_jacobian(wj)
+    jinv = _right_jacobian_inv(hw)
+    dt_dwi = cl.cmm(_hat(ht), jr_i)
+    dw_dwi = cl.cscale(cl.cmm(cl.ct(jinv), jr_i), -1.0)
+    dw_dwj = cl.cmm(jinv, jr_j)
+    zero = jnp.zeros_like(ht[0])
+    jac = []
+    for k in range(3):
+        jac.append([-rit[k][0], -rit[k][1], -rit[k][2],
+                    dt_dwi[k][0], dt_dwi[k][1], dt_dwi[k][2],
+                    rit[k][0], rit[k][1], rit[k][2],
+                    zero, zero, zero])
+    for k in range(3):
+        jac.append([zero, zero, zero,
+                    dw_dwi[k][0], dw_dwi[k][1], dw_dwi[k][2],
+                    zero, zero, zero,
+                    dw_dwj[k][0], dw_dwj[k][1], dw_dwj[k][2]])
+    return ht + hw, jac
+
+
+def se3_between_res(z, h):
+    """Component residual of se3_between: translation additive, rotation on
+    the manifold r_w = log(R(h_w)^T R(z_w)) (factors/se3.py residual)."""
+    rt = [z[k] - h[k] for k in range(3)]
+    rh = _so3_exp(h[3:6])
+    rz = _so3_exp(z[3:6])
+    rw = _so3_log(cl.cmm(cl.ct(rh), rz))
+    return rt + rw
+
+
+def se2_between_comp(x, args):
+    """Component form of factors/odometry.se2_between.
+
+    x = [xi, yi, ti, xj, yj, tj]; h = relative pose of j in frame i
+    (utils/lie.se2_relative convention); jac [3][6] analytic."""
+    del args
+    c, s = jnp.cos(x[2]), jnp.sin(x[2])
+    dx = x[3] - x[0]
+    dy = x[4] - x[1]
+    h0 = c * dx + s * dy
+    h1 = -s * dx + c * dy
+    h = [h0, h1, x[5] - x[2]]
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    jac = [
+        [-c, -s, h1, c, s, zero],
+        [s, -c, -h0, -s, c, zero],
+        [zero, zero, -one, zero, zero, one],
+    ]
+    return h, jac
+
+
+def se2_between_res(z, h):
+    """Component residual of se2_between: angle component wrapped to
+    (-pi, pi] (factors/odometry.se2_between residual)."""
+    dt = z[2] - h[2]
+    return [z[0] - h[0], z[1] - h[1],
+            jnp.arctan2(jnp.sin(dt), jnp.cos(dt))]
+
+
+# ftype.name -> (comp fn, n_arg_components[, residual comp fn]).
+# The optional residual fn(z_comps, h_comps) -> r_comps replaces the default
+# r = z - h inside the fused relinearization kernel (angle wrap / manifold
+# log residuals — factor types whose FactorType.residual_fn is not None).
 COMP_FACTORS = {
     "reprojection_normalized": (reprojection_normalized_comp, 0),
     "bal_reprojection_normalized": (bal_reprojection_normalized_comp, 2),
     "bal_reprojection_intrinsics": (bal_reprojection_intrinsics_comp, 0),
+    "se2_between": (se2_between_comp, 0, se2_between_res),
+    "se3_between": (se3_between_comp, 0, se3_between_res),
 }

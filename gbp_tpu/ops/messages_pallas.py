@@ -43,6 +43,14 @@ SUB = 8
 TILE = SUB * LANE  # factors per grid step
 
 
+def _huber_static(huber):
+    """Normalize the static huber kernel param: None | float | 'row' (the
+    per-factor mode — thresholds in the trailing prec component)."""
+    if huber is None or huber == "row":
+        return huber
+    return float(huber)
+
+
 def _comps(ref, n):
     """First n leading-dim slices of a [F, SUB, LANE] block -> list of tiles."""
     return [ref[k] for k in range(n)]
@@ -172,7 +180,15 @@ def _message_math(params_ref, jac, x0, r0, prec_ref, srel, act,
                  for i in range(z)]
     if huber is not None:
         mm = jnp.sqrt(jnp.maximum(m2, 1e-12))
-        w = jnp.where(mm > huber, 2.0 * huber / mm - (huber * huber) / (mm * mm), 1.0)
+        if huber == "row":
+            # Per-factor thresholds ride as the trailing prec component
+            # (core/sweep._prec_huber_operand); t == 0 disables per factor.
+            t = prec_ref[z * z if prec_full else z]
+            w = jnp.where((mm > t) & (t > 0.0),
+                          2.0 * t / mm - (t * t) / (mm * mm), 1.0)
+        else:
+            w = jnp.where(mm > huber,
+                          2.0 * huber / mm - (huber * huber) / (mm * mm), 1.0)
         inv_w = 1.0 / w
         sigma = cl.cscale(sigma, inv_w)
 
@@ -317,17 +333,23 @@ def _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
     dist2 = sum((x[i] - lp[i]) * (x[i] - lp[i]) for i in range(t))
     eligible = (dist2 > beta * beta) & (srel >= min_linear) & act
 
-    comp_fn = COMP_FACTORS[comp_name][0]
+    entry = COMP_FACTORS[comp_name]
+    comp_fn = entry[0]
+    res_fn = entry[2] if len(entry) > 2 else None
     fargs = _comps(fargs_ref, n_args) if n_args else None
     h, j_new = comp_fn(x, fargs)
     z_meas = _comps(z_ref, z)
+    # Custom component residual (angle wrap / manifold log) when the factor
+    # type defines one; default r = z - h otherwise.
+    r_new = res_fn(z_meas, h) if res_fn is not None else [
+        z_meas[i] - h[i] for i in range(z)]
     jac_old = _mat(_comps(jac_ref, z * t), z, t)
     r0_old = _comps(r0_ref, z)
 
     for i in range(t):
         olp_ref[i] = jnp.where(eligible, x[i], lp[i])
     for i in range(z):
-        or0_ref[i] = jnp.where(eligible, z_meas[i] - h[i], r0_old[i])
+        or0_ref[i] = jnp.where(eligible, r_new[i], r0_old[i])
         for j in range(t):
             ojac_ref[i * t + j] = jnp.where(eligible, j_new[i][j], jac_old[i][j])
     osrel_ref[0] = jnp.where(eligible, 0.0, srel + 1.0)
@@ -398,7 +420,7 @@ def fused_messages_cm(params, jac, x0, r0, prec, since_relin, active,
     grid, in_specs, out_specs = _cm_grid_specs(args, out_shape)
     kernel = functools.partial(
         _kernel, d0=d0, d1=d1, z=z, prec_full=prec_full,
-        huber=None if huber is None else float(huber),
+        huber=_huber_static(huber),
     )
     return pl.pallas_call(
         kernel, grid=grid, out_shape=out_shape,
@@ -483,7 +505,7 @@ def fused_messages_cm_tab(params, jac, x0, r0, prec, since_relin, active,
     out_specs = [_cm_spec_of(o) for o in out_shape]
     kernel = functools.partial(
         _kernel_tab, d0=d0, d1=d1, z=z, prec_full=prec_full,
-        huber=None if huber is None else float(huber), gslot=gslot,
+        huber=_huber_static(huber), gslot=gslot,
     )
     return pl.pallas_call(
         kernel, grid=grid, out_shape=out_shape,
@@ -644,7 +666,7 @@ def fused_messages_cm_tabwin(params, starts, jac, x0, r0, prec, since_relin,
     out_specs = [_cm_spec_of(o) for o in out_shape]
     kernel = functools.partial(
         _kernel_tab_win, d0=d0, d1=d1, z=z, prec_full=prec_full,
-        huber=None if huber is None else float(huber), gslot=gslot,
+        huber=_huber_static(huber), gslot=gslot,
         win_w=win_w,
     )
     return pl.pallas_call(
@@ -924,7 +946,7 @@ def fused_messages(params, jac, x0, r0, prec, since_relin, active,
 
     kernel = functools.partial(
         _kernel, d0=d0, d1=d1, z=z, prec_full=prec_full,
-        huber=None if huber is None else float(huber),
+        huber=_huber_static(huber),
     )
     outs = pl.pallas_call(
         kernel,
@@ -1036,7 +1058,7 @@ def fused_relin_messages(params, x, z_meas, fargs, linpoint, jac, r0, prec,
     ]
     outs = pl.pallas_call(
         functools.partial(_kernel, d0=d0, d1=d1, z=z, prec_full=prec_full,
-                          huber=None if huber is None else float(huber)),
+                          huber=_huber_static(huber)),
         grid=grid,
         out_shape=msg_out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]

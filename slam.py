@@ -36,17 +36,24 @@ def main():
         from gbp_tpu.io import g2o as g2oio
 
         data = g2oio.read_g2o(args.g2o_file)
-        graph, means = pose_graph.build_g2o(data, huber=args.huber)
+        graph, means = pose_graph.build_g2o(
+            data, huber=args.huber,
+            layout="ell" if args.n_chips == 1 else "none")
         print(f"loaded {args.g2o_file} ({data['kind']}): "
               f"{data['poses'].shape[0]} poses, {data['edges_ij'].shape[0]} edges")
     else:
         sim = pose_graph.simulate_manhattan(
             n_poses=args.n_poses, outlier_frac=args.outlier_frac, seed=args.seed)
-        graph, means = pose_graph.build(sim, huber=args.huber)
+        # Single-chip: ELL layout so the component-major fast path can
+        # engage (core/sweep_cm.py — same-block between factors, per-factor
+        # huber); halo partitions the plain layout.
+        graph, means = pose_graph.build(
+            sim, huber=args.huber,
+            layout="ell" if args.n_chips == 1 else "none")
         truth = sim["truth"]
         print(f"simulated Manhattan world: {args.n_poses} poses, "
               f"{sim['odom_ij'].shape[0]} odometry + {sim['loop_ij'].shape[0]} loop factors")
-    hp = run_halo = mesh = None
+    hp = run_halo = mesh = cmg = None
     if args.n_chips > 1:
         import numpy as np
         from jax.sharding import Mesh
@@ -60,7 +67,16 @@ def main():
         hp, state, run_halo = halo.distribute(graph, means, mesh)
         print(f"path: halo (owner-sharded) on {args.n_chips} devices")
     else:
-        state = init_state(graph, means)
+        from gbp_tpu.core import sweep_cm
+
+        cmg = sweep_cm.prepare(graph)
+        if cmg is not None:
+            state = sweep_cm.init_state(cmg, means)
+            win = f", pose-window w={cmg.win_w}" if cmg.win_w else ""
+            print(f"path: cm (persistent component-major{win})")
+        else:
+            state = init_state(graph, means)
+            print("path: generic sweep")
         print(f"device: {jax.devices()[0]}")
 
     runj = jax.jit(run, static_argnums=3)
@@ -76,6 +92,15 @@ def main():
             line = f"sweep {it + n:4d}: energy {float(e):12.3f}"
             if truth is not None:
                 line += f"  ATE {pose_graph.ate(mu, truth):8.4f}"
+        elif cmg is not None:
+            from gbp_tpu.core import sweep_cm
+
+            state = jax.jit(sweep_cm.run, static_argnums=3)(cmg, state, cfg, n)
+            gbp = sweep_cm.to_gbp_state(cmg, state)
+            e = float(energy(graph, gbp))
+            line = f"sweep {it + n:4d}: energy {e:12.3f}"
+            if truth is not None:
+                line += f"  ATE {pose_graph.ate(state.v[0].mean, truth):8.4f}"
         else:
             state = runj(graph, state, cfg, n)
             e = float(energy(graph, state))
