@@ -268,6 +268,8 @@ def partition(graph: Graph, n_chips: int, anchor_slot: int = 0,
             prec=jnp.asarray(place(fb.prec)),
             args=None if fb.args is None else jax.tree_util.tree_map(
                 lambda a: jnp.asarray(place(a)), fb.args),
+            huber_arr=None if fb.huber_arr is None
+            else jnp.asarray(place(fb.huber_arr)),
             valid=jnp.asarray(valid),
             n_valid=int(valid.sum()),
             ell_slot=None,
@@ -782,10 +784,12 @@ def energy_halo(hp: HaloProblem, state: HaloState, mesh: Mesh,
             h = sweep_mod._vmap_factor(fb.ftype.meas, x, fb.args)
             r = jax.vmap(fb.ftype.residual)(fb.z, h)
             m2 = sweep_mod._mahalanobis_sq(fb.prec, r)
-            if fb.huber is not None:
-                t = jnp.asarray(fb.huber, m2.dtype)
+            if fb.huber is not None or fb.huber_arr is not None:
+                t = (fb.huber_arr.astype(m2.dtype)
+                     if fb.huber_arr is not None
+                     else jnp.asarray(fb.huber, m2.dtype))
                 mm = jnp.sqrt(jnp.maximum(m2, 1e-12))
-                cost = jnp.where(mm > t, t * (2 * mm - t), m2)
+                cost = jnp.where((mm > t) & (t > 0), t * (2 * mm - t), m2)
             else:
                 cost = m2
             if fb.valid is not None:

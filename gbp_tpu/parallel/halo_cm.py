@@ -93,6 +93,7 @@ def prepare(hp: halo_mod.HaloProblem,
         len(fb.dofs) != 2
         or fb.vblocks[0] == fb.vblocks[1]
         or fb.ftype.residual_fn is not None
+        or fb.huber_arr is not None  # per-factor huber: generic halo path
         or fb.ftype.name not in COMP_FACTORS
         or fb.prec.ndim != 2
     ):

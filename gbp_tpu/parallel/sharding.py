@@ -71,6 +71,8 @@ def pad_graph(graph: Graph, n_devices: int) -> Graph:
                 args=None if fb.args is None else jax.tree_util.tree_map(
                     lambda a: _pad_rows(a, target), fb.args
                 ),
+                huber_arr=None if fb.huber_arr is None
+                else _pad_rows(fb.huber_arr, target),
                 valid=_pad_rows(valid, target, fill=False),
             )
         else:
@@ -90,6 +92,7 @@ def _fblock_spec(fb: FactorBlock, mesh: Mesh, axis: str):
         z=shard(fb.z),
         prec=shard(fb.prec),
         args=None if fb.args is None else jax.tree_util.tree_map(shard, fb.args),
+        huber_arr=None if fb.huber_arr is None else shard(fb.huber_arr),
         valid=None if fb.valid is None else shard(fb.valid),
     )
 

@@ -88,6 +88,8 @@ def partition_graph(graph: Graph, n_chips: int, anchor_slot: int = 0):
             args=None if fb.args is None else jax.tree_util.tree_map(
                 lambda a: jnp.asarray(place(a)), fb.args
             ),
+            huber_arr=None if fb.huber_arr is None
+            else jnp.asarray(place(fb.huber_arr)),
             valid=jnp.asarray(valid)
             if fb.valid is None
             else jnp.asarray(place(fb.valid, fill=False) & valid),

@@ -96,6 +96,40 @@ def test_ba_converges_on_chip():
     assert np.isfinite(are) and are < 3.0, are
 
 
+def test_cm_pose_graph_on_chip():
+    """Pose-graph CM kernels ON CHIP: the same-block belief update, the
+    wrapped-angle component residual in the relin kernel, and the
+    per-factor huber thresholds riding in the prec operand (huber='row')
+    must reproduce the generic engine under real Mosaic lowering, and stay
+    bit-identical between fori_loop and per-sweep dispatch (the round-1
+    miscompile lane for this new kernel arrangement)."""
+    from gbp_tpu.models import pose_graph
+
+    sim = pose_graph.simulate_manhattan(n_poses=150, seed=2, loop_prob=0.5,
+                                        loop_radius=3.0)
+    cfg = pose_graph.default_config()
+    graph, means = pose_graph.build(sim, layout="ell")
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    assert cmg is not None and graph.fblocks[0].huber_arr is not None
+    n = 10
+    st0 = sweep_cm.init_state(cmg, means)
+    a = jax.jit(sweep_cm.run, static_argnums=3)(cmg, st0, cfg, n)
+    sweepj = jax.jit(sweep_cm.sweep)
+    b = st0
+    for _ in range(n):
+        b = sweepj(cmg, b, cfg)
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    s_ref = jax.jit(run, static_argnums=3)(
+        graph, init_state(graph, means), cfg, n)
+    # f32 CM-vs-XLA ordering differences amplify through relinearization;
+    # the tight parity is pinned in f64 on CPU (test_cm_pose_graph.py).
+    np.testing.assert_allclose(
+        np.asarray(a.v[0].mean), np.asarray(s_ref.v[0].mean),
+        rtol=1e-3, atol=1e-3)
+
+
 def _merged_blocks(k=8, n_cams=40, lmks_per_cam=20, seed=0, shuffle=False):
     """k independent corridor blocks merged into one 320-camera graph: an
     f32-stable locality scene (each block is the proven 40-cam config).
