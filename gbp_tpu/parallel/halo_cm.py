@@ -13,8 +13,10 @@ the chip's whole local universe (owned + ghosts), which is exactly what the
 exchange consumes.
 
 Eligibility mirrors sweep_cm.prepare (single 2-slot factor block with a
-component-form measurement model and diagonal precision, distinct variable
-blocks); ineligible graphs stay on the generic halo path.
+component-form measurement model — custom residuals need a component
+residual in the registry — and diagonal precision; the slots may reference
+the SAME variable block, e.g. pose graphs, whose two partial sums combine
+before one exchange); ineligible graphs stay on the generic halo path.
 """
 from __future__ import annotations
 
@@ -89,12 +91,12 @@ def prepare(hp: halo_mod.HaloProblem,
     if len(g.fblocks) != 1:
         return None
     fb = g.fblocks[0]
+    entry = COMP_FACTORS.get(fb.ftype.name)
     if (
         len(fb.dofs) != 2
-        or fb.vblocks[0] == fb.vblocks[1]
-        or fb.ftype.residual_fn is not None
-        or fb.huber_arr is not None  # per-factor huber: generic halo path
-        or fb.ftype.name not in COMP_FACTORS
+        or entry is None
+        # custom residuals need a component form (see core/sweep_cm.prepare)
+        or (fb.ftype.residual_fn is not None and len(entry) < 3)
         or fb.prec.ndim != 2
     ):
         return None
@@ -151,6 +153,13 @@ def prepare(hp: halo_mod.HaloProblem,
     dt = hfb.z.dtype
     z_np = np.asarray(hfb.z)
     prec_np = np.asarray(hfb.prec)
+    huber = fb.huber
+    if fb.huber_arr is not None:
+        # Per-factor thresholds ride as an extra trailing prec component
+        # (ops/messages_pallas huber='row'; see core/sweep._prec_huber_operand).
+        prec_np = np.concatenate(
+            [prec_np, np.asarray(hfb.huber_arr)[..., None]], axis=-1)
+        huber = "row"
     args_np = None if hfb.args is None else np.asarray(hfb.args)
     n_args = COMP_FACTORS[fb.ftype.name][1]
 
@@ -181,7 +190,7 @@ def prepare(hp: halo_mod.HaloProblem,
         gidx_rm=jnp.asarray(gidx),
         mp=mp, nv=nv, deg=deg, e=e, vb_e=vb_e, vb_g=vb_g,
         dofs=fb.dofs, zdim=fb.z.shape[-1],
-        comp_name=fb.ftype.name, n_args=n_args, huber=fb.huber,
+        comp_name=fb.ftype.name, n_args=n_args, huber=huber,
         n_loc_e=n_loc_e, n_loc_g=n_loc_g, segsum_exact=segsum_exact,
         gather_mode=gather_mode,
     )
@@ -208,8 +217,9 @@ def init_state(hp: halo_mod.HaloProblem, hcm: HaloCMGraph,
     flat_fb = fb.replace(
         z=jnp.reshape(jnp.swapaxes(hcm.z.reshape(P_, hcm.zdim, mp), 1, 2),
                       (P_ * mp, hcm.zdim)),
-        prec=jnp.reshape(jnp.swapaxes(hcm.prec.reshape(P_, hcm.zdim, mp), 1, 2),
-                         (P_ * mp, hcm.zdim)),
+        prec=jnp.reshape(
+            jnp.swapaxes(hcm.prec[:, : hcm.zdim].reshape(P_, hcm.zdim, mp),
+                         1, 2), (P_ * mp, hcm.zdim)),
         args=None if hcm.args is None else jnp.reshape(
             jnp.swapaxes(hcm.args.reshape(P_, hcm.args.shape[1], mp), 1, 2),
             (P_ * mp, hcm.args.shape[1])),
@@ -338,6 +348,14 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
     # Halo exchange + owner updates (shared with the generic path).
     new_v = list(state.v)
     new_ghost = list(state.ghost)
+    if hcm.vb_e == hcm.vb_g:
+        # Same-block factors (pose graphs): both slots' partial sums land on
+        # the one local universe — combine BEFORE the single exchange.
+        ov, gv = halo_mod.exchange_and_update(
+            hcm.vblocks[hcm.vb_e], hcm.comm[hcm.vb_e],
+            packed_e + packed_g, state.ghost[hcm.vb_e], axis)
+        new_v[hcm.vb_e], new_ghost[hcm.vb_e] = ov, gv
+        return HaloCMState(v=tuple(new_v), ghost=tuple(new_ghost), f=fs)
     ov, gv = halo_mod.exchange_and_update(
         hcm.vblocks[hcm.vb_e], hcm.comm[hcm.vb_e], packed_e,
         state.ghost[hcm.vb_e], axis)

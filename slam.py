@@ -53,7 +53,7 @@ def main():
         truth = sim["truth"]
         print(f"simulated Manhattan world: {args.n_poses} poses, "
               f"{sim['odom_ij'].shape[0]} odometry + {sim['loop_ij'].shape[0]} loop factors")
-    hp = run_halo = mesh = cmg = None
+    hp = run_halo = mesh = cmg = hcm = None
     if args.n_chips > 1:
         import numpy as np
         from jax.sharding import Mesh
@@ -64,8 +64,16 @@ def main():
         assert len(devs) >= args.n_chips, \
             f"--n_chips {args.n_chips} but only {len(devs)} devices"
         mesh = Mesh(np.asarray(devs[: args.n_chips]).reshape(-1), ("graph",))
-        hp, state, run_halo = halo.distribute(graph, means, mesh)
-        print(f"path: halo (owner-sharded) on {args.n_chips} devices")
+        from gbp_tpu.parallel import halo_cm
+
+        out = halo_cm.distribute(graph, means, mesh)
+        if out is not None:
+            hp, hcm, state, run_halo = out
+            print(f"path: halo_cm (owner-sharded, per-chip CM fast path) "
+                  f"on {args.n_chips} devices")
+        else:
+            hp, state, run_halo = halo.distribute(graph, means, mesh)
+            print(f"path: halo (owner-sharded) on {args.n_chips} devices")
     else:
         from gbp_tpu.core import sweep_cm
 
@@ -79,6 +87,9 @@ def main():
             print("path: generic sweep")
         print(f"device: {jax.devices()[0]}")
 
+    # Means-only template for halo-path metrics (built once).
+    metric_state = init_state(graph, means) if hp is not None else None
+
     runj = jax.jit(run, static_argnums=3)
     t0 = time.time()
     for it in range(0, args.n_iters, args.print_every):
@@ -86,9 +97,17 @@ def main():
         if hp is not None:
             from gbp_tpu.parallel import halo
 
-            state = run_halo(hp.hgraph, state, cfg, n)
+            state = run_halo(hcm if hcm is not None else hp.hgraph,
+                             state, cfg, n)
             mu = halo.collect_means(hp, state)[0]
-            e = halo.energy_halo(hp, state, mesh)
+            if hcm is not None:
+                # HaloCMState keeps factor state in kernel layout; evaluate
+                # energy at the collected means on the single-graph template.
+                mv = list(metric_state.v)
+                mv[0] = mv[0].replace(mean=jax.numpy.asarray(mu))
+                e = energy(graph, metric_state.replace(v=tuple(mv)))
+            else:
+                e = halo.energy_halo(hp, state, mesh)
             line = f"sweep {it + n:4d}: energy {float(e):12.3f}"
             if truth is not None:
                 line += f"  ATE {pose_graph.ate(mu, truth):8.4f}"

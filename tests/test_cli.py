@@ -71,6 +71,16 @@ def test_slam_cli():
     assert "energy" in out
 
 
+def test_slam_cli_multichip_halo_cm():
+    """Synthetic world over 4 devices: the merged pose-graph block takes the
+    per-chip CM fast path under the halo exchange."""
+    out = _run("slam.py", "--n_poses", "80", "--n_iters", "30",
+               "--print_every", "30", "--n_chips", "4", devices=4)
+    assert "halo_cm" in out
+    last = [l for l in out.splitlines() if "ATE" in l][-1]
+    assert np.isfinite(float(last.split()[-1]))
+
+
 def test_slam_cli_g2o_file_multichip():
     out = _run("slam.py", "--g2o_file", "data/manhattan_sim.g2o",
                "--n_iters", "20", "--print_every", "20", "--n_chips", "2",

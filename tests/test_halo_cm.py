@@ -59,9 +59,40 @@ def test_halo_cm_matches_generic_halo():
         np.testing.assert_allclose(got[vbi], want[vbi], rtol=1e-7, atol=1e-9)
 
 
-def test_halo_cm_ineligible_pose_graph():
-    sim = pose_graph.simulate_manhattan(n_poses=24, seed=0)
+def test_halo_cm_pose_graph_matches_single_device_cm():
+    """Same-block between factors under halo_cm (round 3): the two slots'
+    partial sums combine before one exchange; per-factor huber rides in the
+    prec operand.  Must match the single-device CM run."""
+    sim = pose_graph.simulate_manhattan(n_poses=120, seed=4, loop_prob=0.5,
+                                        loop_radius=3.0)
+    cfg = pose_graph.default_config()
     graph, means = pose_graph.build(sim, dtype=jnp.float64)
+    g_ell, m_ell = pose_graph.build(sim, dtype=jnp.float64, layout="ell")
+    cmg = sweep_cm.prepare(g_ell, segsum_exact=True)
+    single = jax.jit(sweep_cm.run, static_argnums=3)(
+        cmg, sweep_cm.init_state(cmg, m_ell), cfg, 25)
+
+    mesh = sharding.make_mesh(8)
+    out = halo_cm.distribute(graph, means, mesh)
+    assert out is not None
+    hp, hcm, st, run_fn = out
+    assert hcm.vb_e == hcm.vb_g and hcm.huber == "row"
+    st = run_fn(hcm, st, cfg, 25)
+    got = halo.collect_means(
+        hp, halo.HaloState(v=st.v, ghost=st.ghost, f=None))
+    np.testing.assert_allclose(got[0], np.asarray(single.v[0].mean),
+                               atol=1e-9, rtol=0)
+
+
+def test_halo_cm_ineligible_full_precision():
+    """Full (non-diagonal) measurement information stays on the generic
+    halo path."""
+    from test_se3_pose_graph import simulate_se3
+
+    data = simulate_se3(n_poses=24, seed=0)
+    data["edges_info"][0, 0, 1] = 0.1  # break exact diagonality
+    graph, means = pose_graph.build_g2o(data, dtype=jnp.float64)
+    assert graph.fblocks[0].prec.ndim == 3
     mesh = sharding.make_mesh(8)
     assert halo_cm.distribute(graph, means, mesh) is None
 
