@@ -153,8 +153,9 @@ def main():
             cmg = sweep_cm.prepare(graph)
         if cmg is not None:
             state = sweep_cm.init_state(cmg, means)
+            win = f", camera-window w={cmg.win_w}" if cmg.win_w else ""
             print(f"path: persistent component-major sweep "
-                  f"(gather_mode={cmg.gather_mode}) on {jax.devices()[0]}")
+                  f"(gather_mode={cmg.gather_mode}{win}) on {jax.devices()[0]}")
         else:
             state = init_state(graph, means)
             print(f"path: generic sweep ({args.message_form}) "
