@@ -158,6 +158,28 @@ def test_se3_comp_jac_matches_autodiff():
     np.testing.assert_allclose(np.asarray(jnp.stack(r)), r_ref, atol=1e-12)
 
 
+def test_cm_pose_graph_wildfire_schedule():
+    """The CM wildfire schedule composes with the same-block pose path:
+    tau < 0 (everything active) must equal the synchronous sweep exactly —
+    pins the schedule-mask plumbing through the merged-block kernels.
+    (Thresholded-wildfire convergence semantics are pinned on linear graphs
+    in test_schedules.py; on nonlinear loopy graphs a positive tau leaves
+    O(tau)-stale messages and a slightly different fixed point by design.)"""
+    from gbp_tpu.core import schedules
+
+    sim = _sim(n_poses=48, seed=3)
+    cfg = pose_graph.default_config()
+    graph, means = pose_graph.build(sim, dtype=jnp.float64, layout="ell")
+    cmg = sweep_cm.prepare(graph, segsum_exact=True)
+    sync = jax.jit(sweep_cm.run, static_argnums=3)(
+        cmg, sweep_cm.init_state(cmg, means), cfg, 30)
+    wf = jax.jit(schedules.run_wildfire_cm, static_argnums=(3,))(
+        cmg, sweep_cm.init_state(cmg, means), cfg, 30, -1.0)
+    np.testing.assert_allclose(np.asarray(wf.v[0].mean),
+                               np.asarray(sync.v[0].mean),
+                               atol=1e-12, rtol=0)
+
+
 def test_cm_pose_graph_huber_rejects_outliers():
     """Per-factor huber actually robustifies: with outlier loop closures the
     huberized merged build beats the huber=None build on ATE (CM path)."""
