@@ -212,21 +212,66 @@ def default_config():
 
 
 def ate(est, truth):
-    """Absolute trajectory error (RMSE of xy positions) after 2D rigid alignment.
+    """Absolute trajectory error (RMSE of positions) after rigid alignment.
 
-    Umeyama alignment in SE(2) so the gauge does not pollute the metric
-    (BASELINE.json metric: 'ATE parity')."""
-    est_xy = np.asarray(est)[:, :2]
-    truth_xy = np.asarray(truth)[:, :2]
-    mu_e = est_xy.mean(0)
-    mu_t = truth_xy.mean(0)
-    e = est_xy - mu_e
-    t = truth_xy - mu_t
+    Umeyama alignment so the gauge does not pollute the metric
+    (BASELINE.json metric: 'ATE parity').  Positions are xy for SE(2)
+    states [x, y, theta] and xyz for SE(3) states [t, omega]."""
+    est = np.asarray(est)
+    truth = np.asarray(truth)
+    d = 2 if est.shape[1] == 3 else 3
+    est_p = est[:, :d]
+    truth_p = truth[:, :d]
+    mu_e = est_p.mean(0)
+    mu_t = truth_p.mean(0)
+    e = est_p - mu_e
+    t = truth_p - mu_t
     cov = t.T @ e / len(e)
     u, _, vt = np.linalg.svd(cov)
-    s = np.eye(2)
+    s = np.eye(d)
     if np.linalg.det(u @ vt) < 0:
-        s[1, 1] = -1
+        s[-1, -1] = -1
     rot = u @ s @ vt
     aligned = e @ rot.T + mu_t
-    return float(np.sqrt(np.mean(np.sum((aligned - truth_xy) ** 2, axis=1))))
+    return float(np.sqrt(np.mean(np.sum((aligned - truth_p) ** 2, axis=1))))
+
+
+def simulate_helix(n_poses=60, seed=0, odom_sigma=0.02, loop_every=7,
+                   init_noise=0.05):
+    """Synthetic 3D (SE(3)) world: helical trajectory, odometry + periodic
+    loop closures, diagonal edge information.  Returns a `build_g2o`-style
+    dict (kind='se3') plus ground truth — the 3D analogue of
+    `simulate_manhattan` (the reference ships no pose-graph data at all;
+    SURVEY.md §2 north-star scope)."""
+    from gbp_tpu.utils.lie import so3_exp, so3_log
+
+    r_of = lambda w: np.asarray(so3_exp(jnp.asarray(w)))
+    log_of = lambda r: np.asarray(so3_log(jnp.asarray(r)))
+    rng = np.random.default_rng(seed)
+    truth = np.zeros((n_poses, 6))  # [t (3), omega (3)]
+    t, w = np.zeros(3), np.zeros(3)
+    for i in range(1, n_poses):
+        step_t = np.array([1.0, 0.1 * np.sin(i * 0.5), 0.15])
+        step_w = np.array([0.0, 0.02, 0.2])
+        r1 = r_of(w)
+        t = t + r1 @ step_t
+        w = log_of(r1 @ r_of(step_w))
+        truth[i] = np.concatenate([t, w])
+
+    def relative(i, j):
+        ri = r_of(truth[i, 3:])
+        dt = ri.T @ (truth[j, :3] - truth[i, :3])
+        dr = ri.T @ r_of(truth[j, 3:])
+        return np.concatenate([dt, log_of(dr)])
+
+    edges = [(i, i + 1) for i in range(n_poses - 1)]
+    edges += [(i, i + loop_every)
+              for i in range(0, n_poses - loop_every, loop_every)]
+    ij = np.asarray(edges)
+    z = np.stack([relative(i, j) + odom_sigma * rng.standard_normal(6)
+                  for i, j in edges])
+    info = np.tile(np.eye(6) / odom_sigma**2, (len(edges), 1, 1))
+    init = truth + init_noise * rng.standard_normal(truth.shape)
+    init[0] = truth[0]
+    return dict(kind="se3", poses=init, edges_ij=ij, edges_z=z,
+                edges_info=info, truth=truth)

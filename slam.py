@@ -14,6 +14,9 @@ def parse_args():
     p.add_argument("--n_iters", type=int, default=200)
     p.add_argument("--huber", type=float, default=2.0)
     p.add_argument("--n_poses", type=int, default=500)
+    p.add_argument("--se3", action="store_true",
+                   help="synthetic 3D helical world (SE(3) pose graph) "
+                        "instead of the 2D Manhattan world")
     p.add_argument("--outlier_frac", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print_every", type=int, default=20)
@@ -41,6 +44,14 @@ def main():
             layout="ell" if args.n_chips == 1 else "none")
         print(f"loaded {args.g2o_file} ({data['kind']}): "
               f"{data['poses'].shape[0]} poses, {data['edges_ij'].shape[0]} edges")
+    elif args.se3:
+        data = pose_graph.simulate_helix(n_poses=args.n_poses, seed=args.seed)
+        graph, means = pose_graph.build_g2o(
+            data, huber=args.huber,
+            layout="ell" if args.n_chips == 1 else "none")
+        truth = data["truth"]
+        print(f"simulated SE(3) helix: {args.n_poses} poses, "
+              f"{data['edges_ij'].shape[0]} edges")
     else:
         sim = pose_graph.simulate_manhattan(
             n_poses=args.n_poses, outlier_frac=args.outlier_frac, seed=args.seed)

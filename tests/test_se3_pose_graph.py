@@ -11,46 +11,12 @@ from gbp_tpu.models import pose_graph
 from gbp_tpu.utils.lie import so3_exp, so3_log
 
 
-def _compose(t1, w1, t2, w2):
-    """World pose composition: (t, w) represents T = (R=exp(w), t)."""
-    r1 = np.asarray(so3_exp(jnp.asarray(w1)))
-    t = t1 + r1 @ t2
-    r = r1 @ np.asarray(so3_exp(jnp.asarray(w2)))
-    return t, np.asarray(so3_log(jnp.asarray(r)))
-
-
-def _relative(t1, w1, t2, w2):
-    r1 = np.asarray(so3_exp(jnp.asarray(w1)))
-    dt = r1.T @ (t2 - t1)
-    dr = r1.T @ np.asarray(so3_exp(jnp.asarray(w2)))
-    return np.concatenate([dt, np.asarray(so3_log(jnp.asarray(dr)))])
-
-
 def simulate_se3(n_poses=30, seed=0, odom_sigma=0.02, loop_every=7):
-    """Helical 3D trajectory with odometry + a few loop closures."""
-    rng = np.random.default_rng(seed)
-    truth = np.zeros((n_poses, 6))  # [t (3), omega (3)]
-    t, w = np.zeros(3), np.zeros(3)
-    for i in range(1, n_poses):
-        step_t = np.array([1.0, 0.1 * np.sin(i * 0.5), 0.15])
-        step_w = np.array([0.0, 0.02, 0.2])
-        t, w = _compose(t, w, step_t, step_w)
-        truth[i] = np.concatenate([t, w])
-
-    edges = [(i, i + 1) for i in range(n_poses - 1)]
-    edges += [(i, i + loop_every) for i in range(0, n_poses - loop_every, loop_every)]
-    ij = np.asarray(edges)
-    z = np.stack([
-        _relative(truth[i, :3], truth[i, 3:], truth[j, :3], truth[j, 3:])
-        + odom_sigma * rng.standard_normal(6)
-        for i, j in edges
-    ])
-    info = np.tile(np.eye(6) / odom_sigma**2, (len(edges), 1, 1))
-
-    init = truth + 0.05 * rng.standard_normal(truth.shape)
-    init[0] = truth[0]
-    return dict(kind="se3", poses=init, edges_ij=ij, edges_z=z, edges_info=info,
-                truth=truth)
+    """Helical 3D trajectory with odometry + a few loop closures (the model
+    simulator, kept under this historical name for the cross-test imports)."""
+    return pose_graph.simulate_helix(n_poses=n_poses, seed=seed,
+                                     odom_sigma=odom_sigma,
+                                     loop_every=loop_every)
 
 
 def test_se3_pose_graph_converges_to_map():
