@@ -561,13 +561,15 @@ def _win_start(params_ref):
     """Per-grid-step window start, folded into the trailing columns of the
     params SMEM row (params_ref[0, -n_tiles + g]).
 
-    Folded rather than passed as its own operand: pallas corrupts the LATER
-    OUTPUTS of this kernel when the total ref count reaches 20 (15 inputs +
-    1 extra + 4 outputs) — the same arrangement-sensitive class as the
-    round-1 fori-loop miscompile, and it reproduces even in interpret mode
-    (measured: adding ANY 16th input, SMEM or VMEM, NaNs oe1/ol1 on late
-    grid steps while oe0/ol0 stay bitwise-correct).  Folding keeps the win
-    kernels at the proven 19-ref arrangement."""
+    Folded rather than passed as its own operand to keep these kernels at
+    the exact 19-ref arrangement of the proven `_kernel_tab` family: the
+    round-1 fori-loop miscompile was arrangement-sensitive, so new kernel
+    variants deviate from proven operand layouts as little as possible.
+    (An apparent reproduction of that class during this kernel's bring-up —
+    adding a 16th input changed late-tile outputs in interpret mode —
+    turned out to be NaN propagation on an ill-posed test scene, not a
+    pallas bug; see docs/PERFORMANCE.md 'Debugging note'.  The folding is
+    kept regardless: it is free and minimizes arrangement drift.)"""
     col = params_ref.shape[1] - pl.num_programs(0) + pl.program_id(0)
     return params_ref[0, col].astype(jnp.int32)
 
