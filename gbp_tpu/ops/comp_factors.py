@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gbp_tpu.ops import comp_linalg as cl
+from gbp_tpu.utils.lie import stable_acos, wrap_angle
 
 
 def _hat(w):
@@ -192,7 +193,10 @@ def _so3_log(r):
     [3][3] component matrix -> [3] axis-angle components."""
     trace = r[0][0] + r[1][1] + r[2][2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # stable_acos, not jnp.arccos: acos has no Mosaic lowering, and this
+    # runs inside the fused relinearization kernel.  Same function as
+    # utils/lie.so3_log -> the CM<->generic f64 parity stays exact.
+    theta = stable_acos(cos_theta)
     vee = [r[2][1] - r[1][2], r[0][2] - r[2][0], r[1][0] - r[0][1]]
     small = jnp.abs(theta) < 1e-4
     scale = jnp.where(
@@ -297,10 +301,10 @@ def se2_between_comp(x, args):
 
 def se2_between_res(z, h):
     """Component residual of se2_between: angle component wrapped to
-    (-pi, pi] (factors/odometry.se2_between residual)."""
-    dt = z[2] - h[2]
-    return [z[0] - h[0], z[1] - h[1],
-            jnp.arctan2(jnp.sin(dt), jnp.cos(dt))]
+    [-pi, pi) (factors/odometry.se2_between residual — the SAME
+    utils/lie.wrap_angle, which is floor-form because atan2 has no Mosaic
+    lowering and this runs inside the fused kernel)."""
+    return [z[0] - h[0], z[1] - h[1], wrap_angle(z[2] - h[2])]
 
 
 # ftype.name -> (comp fn, n_arg_components[, residual comp fn]).

@@ -56,7 +56,7 @@ def so3_log(r):
     """Rotation matrix [..., 3, 3] -> axis-angle [..., 3]."""
     trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    theta = stable_acos(cos_theta)
     vee = jnp.stack(
         [
             r[..., 2, 1] - r[..., 1, 2],
@@ -133,5 +133,39 @@ def se2_relative(a, b):
 
 
 def wrap_angle(theta):
-    """Wrap to (-pi, pi]."""
-    return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+    """Wrap to [-pi, pi).
+
+    Floor form rather than arctan2(sin, cos): atan2 has no Pallas/Mosaic
+    TPU lowering, and this function is the angle residual inside the fused
+    relinearization kernel (ops/comp_factors.se2_between_res) as well as in
+    the generic engine (factors/odometry.py) — one formula in both keeps
+    the CM<->generic parity tests exact."""
+    two_pi = 2.0 * jnp.pi
+    return theta - two_pi * jnp.floor((theta + jnp.pi) / two_pi)
+
+
+def stable_acos(c):
+    """arccos(clip(c, -1, 1)) from Mosaic-lowerable primitives only.
+
+    acos/asin/atan2 have no Pallas TPU lowering; sin/cos/sqrt/floor do.
+    Invert cos by 3 Newton steps seeded with an asin/acos series, switching
+    between solving sin(t) = sqrt(1-c^2) (|c| >= sqrt(1/2), where cos(t) is
+    a safe Newton denominator) and cos(t) = |c| (where sin(t) is), so the
+    derivative magnitude is always >= 0.707.  Accurate to a few ulp in f64
+    (pinned by tests/test_lie.py); used by so3_log here and by the
+    component-form so3_log inside the fused kernels (ops/comp_factors.py)."""
+    a = jnp.abs(jnp.clip(c, -1.0, 1.0))
+    s = jnp.sqrt(jnp.maximum((1.0 - a) * (1.0 + a), 0.0))
+
+    def asin_series(t):  # |t| <= sqrt(1/2); error < 1.4e-3, Newton cleans up
+        t2 = t * t
+        return t * (1.0 + t2 * (1.0 / 6.0 + t2 * (3.0 / 40.0
+                                                  + t2 * (15.0 / 336.0))))
+
+    near1 = a >= 0.7071067811865476
+    th = jnp.where(near1, asin_series(s), 0.5 * jnp.pi - asin_series(a))
+    for _ in range(3):
+        sin_t, cos_t = jnp.sin(th), jnp.cos(th)
+        th = jnp.where(near1, th - (sin_t - s) / cos_t,
+                       th + (cos_t - a) / sin_t)
+    return jnp.where(c < 0, jnp.pi - th, th)

@@ -67,3 +67,31 @@ def test_wrap_angle():
     # Same angle modulo 2*pi.
     np.testing.assert_allclose(np.cos(w), np.cos(theta), atol=1e-12)
     np.testing.assert_allclose(np.sin(w), np.sin(theta), atol=1e-12)
+
+
+def test_stable_acos_matches_numpy():
+    """stable_acos (Newton from Mosaic-lowerable primitives) vs np.arccos.
+
+    It must be accurate everywhere in [-1, 1] including the endpoints and
+    the region-switch point sqrt(1/2), and must clip out-of-range inputs
+    the way so3_log's trace argument needs."""
+    from gbp_tpu.utils.lie import stable_acos
+
+    c = np.concatenate([
+        np.linspace(-1.0, 1.0, 20001),
+        [-1.0, 1.0, 0.0, 0.7071067811865476, -0.7071067811865476],
+        1.0 - np.logspace(-16, -1, 40),       # near +1 (theta ~ 0)
+        -1.0 + np.logspace(-16, -1, 40),      # near -1 (theta ~ pi)
+    ])
+    got = np.asarray(stable_acos(jnp.asarray(c, jnp.float64)))
+    np.testing.assert_allclose(got, np.arccos(c), atol=4e-15)
+    # out-of-range inputs clip instead of producing NaN
+    assert float(stable_acos(jnp.asarray(1.0 + 1e-6))) == 0.0
+    np.testing.assert_allclose(float(stable_acos(jnp.asarray(-1.0 - 1e-6))),
+                               np.pi, rtol=0, atol=1e-15)
+    # f32: a few-ulp bound at f32 scale, against arccos of the f32-rounded
+    # input (inputs within one f32 ulp of +-1 collapse to the endpoint).
+    c32 = c.astype(np.float32)
+    got32 = np.asarray(stable_acos(jnp.asarray(c32)))
+    np.testing.assert_allclose(got32, np.arccos(c32.astype(np.float64)),
+                               atol=5e-7)
