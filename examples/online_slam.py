@@ -7,7 +7,11 @@ landmark priors (fixed-lag smoothing), so the loop serves indefinitely.
 
     python examples/online_slam.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -8,6 +8,11 @@ tracks alone (essential matrix + incremental PnP), and refines with GBP.
 
     python examples/sfm_from_pixels.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,225 @@
+"""Stage-level on-chip profile of the CM sweep at large camera counts.
+
+VERDICT r3 weak #3: the camera-window table kernels were modeled to cut
+~14 MXU table passes to ~2 at Venice-scale camera counts, but measured
+only +12.5% end-to-end at 1280 cams — AND the per-factor rate at 1280
+cams is ~4x worse than the 64-cam bench even though the windowed dot
+width equals the 64-cam full-table width.  Something other than the
+table dots scales with camera count.  This harness times each sweep
+stage IN ISOLATION (its own fori_loop with a data dependency so XLA
+cannot hoist the stage out of the loop) at both scales, window on/off:
+
+  expand_ell   XLA belief broadcast of the ELL slot ([F, mp] HBM write)
+  relin        fused_relin_cm_tab[win] kernel
+  messages     fused_messages_cm_tab[win] kernel
+  segsum       segsum_cm[_win] one-hot reduction kernel
+  beliefs      XLA belief update (reshape-sums + scaled_sym_solve + tabw prep)
+
+Run ON CHIP (single-client tunnel):
+
+    python -m gbp_tpu.bench.window_profile [--blocks 32] [--cams 40]
+        [--lpc 60] [--iters 50]
+
+Writes gbp_tpu/bench/artifacts/window_profile_tpu_r4.json.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+
+def _timed(fn, *args, iters, **kw):
+    """Median-of-3 wall time of jit(fn) over `iters` fori iterations."""
+    import jax
+
+    f = jax.jit(functools.partial(fn, **kw), static_argnums=0)
+    out = f(iters, *args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        out = f(iters, *args)
+        jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        ts.append((time.time() - t0) / iters)
+    return sorted(ts)[1]
+
+
+def profile_scene(graph, means, cfg, window, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from gbp_tpu.core import sweep_cm
+    from gbp_tpu.core.sweep import f32_exact
+    from gbp_tpu.ops import messages_pallas as mp
+
+    cmg = sweep_cm.prepare(graph, segsum_exact=True, window=window)
+    assert cmg is not None and cmg.gather_mode == "table"
+    state = sweep_cm.init_state(cmg, means)
+    fb = cmg.fb
+    e, g = fb.ell_slot, 1 - fb.ell_slot
+    d0, d1 = fb.dofs
+    d_g = fb.dofs[g]
+    zdim = fb.z.shape[-1]
+    m = fb.count if fb.n_valid is None else fb.n_valid
+    res = {"win_w": int(cmg.win_w), "n_factors": int(m),
+           "mp": int(cmg.mp), "ncpad": int(cmg.win_ncpad) or None}
+
+    # --- full sweep ------------------------------------------------------
+    def full(n, st):
+        return jax.lax.fori_loop(
+            0, n, lambda _, s: sweep_cm.sweep(cmg, s, cfg), st)
+
+    res["full_ms"] = _timed(full, state, iters=iters) * 1e3
+
+    # --- stage inputs (one un-timed expansion) ----------------------------
+    vs_e, vs_g = state.v[fb.vblocks[e]], state.v[fb.vblocks[g]]
+    be_e, bl_e, mean_e = sweep_cm._expand_ell(cmg, vs_e)
+    fs = state.f
+    from gbp_tpu.core import sweep as sweep_mod
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    params = sweep_mod._kernel_params(cfg, fs.r0.dtype)
+    n_args = COMP_FACTORS[fb.ftype.name][1]
+    huber = "row" if fb.huber_arr is not None else fb.huber
+    interp = sweep_cm._interpret()
+    pk = sweep_cm._pack_beliefs(vs_g)
+    if cmg.win_w:
+        tab = jnp.pad(pk, ((0, cmg.win_ncpad - pk.shape[0]), (0, 0)))
+    else:
+        ncp = ((pk.shape[0] + mp.LANE - 1) // mp.LANE) * mp.LANE
+        tab = jnp.swapaxes(jnp.pad(pk, ((0, ncp - pk.shape[0]), (0, 0))), 0, 1)
+
+    # Every stage loop threads its outputs back into its inputs so XLA
+    # cannot hoist the stage as loop-invariant.  Where no natural chaining
+    # exists, a ~1e-30-scaled scalar of the output is added to an input —
+    # numerically inert, dependency-real.
+    leak = lambda x: 1e-30 * x.reshape(-1)[0]
+
+    def relin_loop(n, carry):
+        @f32_exact
+        def body(_, c):
+            lp, jac, r0, srel = c
+            if cmg.win_w:
+                return mp.fused_relin_cm_tabwin(
+                    params, cmg.win_starts, mean_e, tab, cmg.gidx_cm, cmg.z,
+                    cmg.args, lp, jac, r0, srel, cmg.act, d0=d0, d1=d1,
+                    z=zdim, comp_name=fb.ftype.name, n_args=n_args, gslot=g,
+                    win_w=cmg.win_w, interpret=interp)
+            mtab = tab[d_g + d_g * d_g:]
+            return mp.fused_relin_cm_tab(
+                params, mean_e, mtab, cmg.gidx_cm, cmg.z, cmg.args,
+                lp, jac, r0, srel, cmg.act, d0=d0, d1=d1, z=zdim,
+                comp_name=fb.ftype.name, n_args=n_args, gslot=g,
+                interpret=interp)
+
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    res["relin_ms"] = _timed(
+        relin_loop, (fs.lp, fs.jac, fs.r0, fs.srel), iters=iters) * 1e3
+
+    def msg_loop(n, carry):
+        @f32_exact
+        def body(_, msgs):
+            me0, ml0, me1, ml1 = msgs
+            if cmg.win_w:
+                return mp.fused_messages_cm_tabwin(
+                    params, cmg.win_starts, fs.jac, fs.lp, fs.r0, cmg.prec,
+                    fs.srel, cmg.act, be_e, bl_e, tab, cmg.gidx_cm,
+                    me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim,
+                    prec_full=False, huber=huber, gslot=g, win_w=cmg.win_w,
+                    interpret=interp)
+            btab = tab[: d_g + d_g * d_g]
+            return mp.fused_messages_cm_tab(
+                params, fs.jac, fs.lp, fs.r0, cmg.prec, fs.srel, cmg.act,
+                be_e, bl_e, btab, cmg.gidx_cm, me0, ml0, me1, ml1,
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber, gslot=g, interpret=interp)
+
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    msgs0 = (fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1])
+    res["messages_ms"] = _timed(msg_loop, msgs0, iters=iters) * 1e3
+
+    me_g, ml_g = fs.msg_eta[g], fs.msg_lam[g]
+    n_g = graph.vblocks[fb.vblocks[g]].count
+
+    def segsum_loop(n, carry):
+        def body(_, me):
+            if cmg.win_w:
+                s = mp.segsum_cm_win(me, ml_g, cmg.gidx_cm, cmg.win_starts,
+                                     n_seg=n_g, w=cmg.win_w, exact=True,
+                                     interpret=interp)
+            else:
+                s = mp.segsum_cm(me, ml_g, cmg.gidx_cm, n_seg=n_g, exact=True,
+                                 interpret=interp)
+            return me + leak(s)
+
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    res["segsum_ms"] = _timed(segsum_loop, me_g, iters=iters) * 1e3
+
+    def expand_loop(n, carry):
+        def body(_, vs):
+            be, bl, mn = sweep_cm._expand_ell(cmg, vs)
+            return vs.replace(eta=vs.eta + leak(be) + leak(bl) + leak(mn))
+
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    res["expand_ell_ms"] = _timed(expand_loop, vs_e, iters=iters) * 1e3
+
+    kernels = (res["relin_ms"] + res["messages_ms"] + res["segsum_ms"]
+               + res["expand_ell_ms"])
+    res["other_ms"] = res["full_ms"] - kernels  # beliefs + tabw prep + glue
+    res["ns_per_factor"] = res["full_ms"] * 1e6 / m
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=32)
+    ap.add_argument("--cams", type=int, default=40, help="cams per block")
+    ap.add_argument("--lpc", type=int, default=60)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--skip_bench_scene", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from gbp_tpu.core.sweep import GBPConfig
+    from gbp_tpu.models import ba
+
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="pallas")
+    out = {"platform": str(jax.devices()[0]), "scenes": {}}
+
+    if not args.skip_bench_scene:
+        sim = ba.simulate(n_cams=64, n_lmks=8000, pix_sigma=1.0, seed=0)
+        graph, means = ba.build(sim)
+        r = profile_scene(graph, means, cfg, window=False, iters=args.iters)
+        out["scenes"]["bench64"] = r
+        print(f"[profile] bench64: {json.dumps(r)}", flush=True)
+
+    sim = ba.simulate_blocks(n_blocks=args.blocks, n_cams=args.cams,
+                             lmks_per_cam=args.lpc, window=3, seed=0,
+                             shuffle=True)
+    n_cams_total = sim["cam_init"].shape[0]
+    graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
+                            lmk_prior_prec=1000.0)
+    for window in (False, True):
+        r = profile_scene(graph, means, cfg, window=window, iters=args.iters)
+        key = f"blocks{n_cams_total}_" + ("win" if window else "full")
+        out["scenes"][key] = r
+        print(f"[profile] {key}: {json.dumps(r)}", flush=True)
+
+    path = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "artifacts", "window_profile_tpu_r4.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[profile] wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

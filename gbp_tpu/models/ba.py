@@ -202,6 +202,47 @@ def simulate_corridor(
     )
 
 
+def simulate_blocks(n_blocks=8, n_cams=40, lmks_per_cam=20, window=3,
+                    seed=0, shuffle=False, **kw):
+    """`n_blocks` independent corridor blocks merged into one graph: the
+    f32-STABLE city-scale locality scene (each block is the proven 40-cam
+    corridor config, so the merged problem has bounded effective diameter —
+    unlike a single long chain, which is beyond the annealed-GBP recipe at
+    300+ cameras in ANY engine path; docs/PERFORMANCE.md "Long single
+    chains").  This is the stock large-camera-count benchmark/validation
+    scene (tests/tpu/test_onchip.py, gbp_tpu/bench/bigscene.py).
+
+    shuffle=True randomizes the landmark numbering so the windowed table
+    path must engage via the locality SORT (real-BAL-file conditions).
+
+    Returns the same dict shape as `simulate`.
+    """
+    sims = [simulate_corridor(n_cams=n_cams, lmks_per_cam=lmks_per_cam,
+                              window=window, seed=seed + i, **kw)
+            for i in range(n_blocks)]
+    out = {}
+    for key in ("cam_truth", "cam_init", "lmk_truth", "lmk_init", "obs"):
+        out[key] = np.concatenate([s[key] for s in sims])
+    cam_ids, lmk_ids, co, lo = [], [], 0, 0
+    for s in sims:
+        cam_ids.append(s["cam_ids"] + co)
+        lmk_ids.append(s["lmk_ids"] + lo)
+        co += s["cam_init"].shape[0]
+        lo += s["lmk_init"].shape[0]
+    out["cam_ids"] = np.concatenate(cam_ids)
+    out["lmk_ids"] = np.concatenate(lmk_ids)
+    out["k"] = sims[0]["k"]
+    out["pix_sigma"] = sims[0]["pix_sigma"]
+    if shuffle:
+        rng = np.random.default_rng(seed + 99)
+        perm = rng.permutation(lo)
+        inv = np.argsort(perm)
+        out["lmk_truth"] = out["lmk_truth"][perm]
+        out["lmk_init"] = out["lmk_init"][perm]
+        out["lmk_ids"] = inv[out["lmk_ids"]]
+    return out
+
+
 def build(
     sim: dict,
     pix_sigma=None,

@@ -131,33 +131,11 @@ def test_cm_pose_graph_on_chip():
 
 
 def _merged_blocks(k=8, n_cams=40, lmks_per_cam=20, seed=0, shuffle=False):
-    """k independent corridor blocks merged into one 320-camera graph: an
-    f32-stable locality scene (each block is the proven 40-cam config).
-    shuffle=True randomizes the landmark numbering so the windowed table
-    path must engage via the locality SORT (real-BAL-file conditions)."""
-    sims = [ba.simulate_corridor(n_cams=n_cams, lmks_per_cam=lmks_per_cam,
-                                 window=3, seed=seed + i) for i in range(k)]
-    out = {}
-    for key in ("cam_truth", "cam_init", "lmk_truth", "lmk_init", "obs"):
-        out[key] = np.concatenate([s[key] for s in sims])
-    cam_ids, lmk_ids, co, lo = [], [], 0, 0
-    for s in sims:
-        cam_ids.append(s["cam_ids"] + co)
-        lmk_ids.append(s["lmk_ids"] + lo)
-        co += s["cam_init"].shape[0]
-        lo += s["lmk_init"].shape[0]
-    out["cam_ids"] = np.concatenate(cam_ids)
-    out["lmk_ids"] = np.concatenate(lmk_ids)
-    out["k"] = sims[0]["k"]
-    out["pix_sigma"] = sims[0]["pix_sigma"]
-    if shuffle:
-        rng = np.random.default_rng(seed + 99)
-        perm = rng.permutation(lo)
-        inv = np.argsort(perm)
-        out["lmk_truth"] = out["lmk_truth"][perm]
-        out["lmk_init"] = out["lmk_init"][perm]
-        out["lmk_ids"] = inv[out["lmk_ids"]]
-    return out
+    """The f32-stable 320-camera locality scene (now public as
+    models/ba.simulate_blocks; kept as a thin alias for the test names)."""
+    return ba.simulate_blocks(n_blocks=k, n_cams=n_cams,
+                              lmks_per_cam=lmks_per_cam, window=3, seed=seed,
+                              shuffle=shuffle)
 
 
 def test_cm_window_matches_full_table_on_chip():
