@@ -590,8 +590,14 @@ def _local_graph(hg: HaloGraph) -> Graph:
 
 
 def _sweep_halo(hg: HaloGraph, state: HaloState, cfg: GBPConfig,
-                axis: str) -> HaloState:
-    """One synchronous sweep on a chip's shard (runs inside shard_map)."""
+                axis: str, active: tuple | None = None) -> HaloState:
+    """One synchronous sweep on a chip's shard (runs inside shard_map).
+
+    active: optional per-fblock [m_loc] bool mask (chip-local rows) for the
+    wildfire/priority/random halo schedules (parallel/schedules.py);
+    inactive factors keep their previous messages and skip relinearization —
+    identical composition with the validity mask as the single-chip
+    sweep(..., active=...)."""
     # Local belief table per vblock: [owned | ghosts].
     lv = tuple(
         VariableState(
@@ -609,6 +615,8 @@ def _sweep_halo(hg: HaloGraph, state: HaloState, cfg: GBPConfig,
     for fi, fb in enumerate(hg.fblocks):
         fs = lstate.f[fi]
         act = fb.valid
+        if active is not None:
+            act = active[fi] if act is None else act & active[fi]
         beliefs, x = sweep_mod._gather_beliefs_and_means(lgraph, lstate, fi)
         if sweep_mod._use_fused_relin(cfg, fb):
             fs = sweep_mod._fused_relin_messages(fb, fs, beliefs, x, cfg, act)

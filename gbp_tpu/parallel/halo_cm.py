@@ -259,11 +259,45 @@ def _pack_local(vs_own, vs_ghost, n_pad, d):
     return pk
 
 
+def expand_means(hcm: HaloCMGraph, state: HaloCMState) -> jnp.ndarray:
+    """Adjacent belief means per LOCAL factor in CM layout [tdof, T, LANE]
+    (slot-0 components first) — chip-local, runs inside shard_map.  The halo
+    schedule variants (parallel/schedules.py) score per-factor urgency from
+    this without running the full belief expansion (mirrors
+    core/sweep_cm.expand_means)."""
+    d_e, d_g = hcm.dofs[hcm.e], hcm.dofs[1 - hcm.e]
+    t_tiles = hcm.mp // LANE
+    me = jnp.concatenate([state.v[hcm.vb_e].mean, state.ghost[hcm.vb_e].mean])
+    if hcm.nv > me.shape[0]:
+        me = jnp.concatenate(
+            [me, jnp.zeros((hcm.nv - me.shape[0], d_e), me.dtype)])
+    cm_e = jnp.broadcast_to(
+        jnp.swapaxes(me, 0, 1)[:, :, None], (d_e, hcm.nv, hcm.deg)
+    ).reshape(d_e, t_tiles, LANE)
+    mg = jnp.concatenate([state.v[hcm.vb_g].mean, state.ghost[hcm.vb_g].mean])
+    if hcm.n_loc_g > mg.shape[0]:
+        mg = jnp.concatenate(
+            [mg, jnp.zeros((hcm.n_loc_g - mg.shape[0], d_g), mg.dtype)])
+    cm_g = jnp.take(jnp.swapaxes(mg, 0, 1), hcm.gidx_rm,
+                    axis=1).reshape(d_g, t_tiles, LANE)
+    m0, m1 = (cm_e, cm_g) if hcm.e == 0 else (cm_g, cm_e)
+    return jnp.concatenate([m0, m1], axis=0)
+
+
 def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
-                   axis: str) -> HaloCMState:
-    """One synchronous sweep on a chip's shard (inside shard_map)."""
+                   axis: str, active: jnp.ndarray | None = None
+                   ) -> HaloCMState:
+    """One synchronous sweep on a chip's shard (inside shard_map).
+
+    active: optional chip-local CM-layout [1, T, LANE] (or row-major [mp])
+    factor mask for the halo schedule variants (parallel/schedules.py) —
+    composes with the validity mask exactly as in core/sweep_cm.sweep."""
     d_e, d_g = hcm.dofs[hcm.e], hcm.dofs[1 - hcm.e]
     dt = state.f.r0.dtype
+    if active is not None:
+        if active.ndim == 1:
+            active = _rm2cm(active.astype(dt)[:, None])
+        hcm = hcm.replace(act=hcm.act * active.astype(dt))
     params = sweep_mod._kernel_params(cfg, dt)
     interp = jax.default_backend() == "cpu"
     t_tiles = hcm.mp // LANE

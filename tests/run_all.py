@@ -35,6 +35,7 @@ SINGLES = {
     "test_online.py",
     "test_multihost.py",
     "test_halo_cm.py",
+    "test_halo_schedules.py",
     "test_cli.py",
     "test_examples.py",
 }
