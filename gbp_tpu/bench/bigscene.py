@@ -1,18 +1,23 @@
-"""Large-problem single-chip throughput: the camera-window kernel payoff.
+"""Large-problem single-chip throughput: city-scale BA + a long pose graph.
 
-The in-kernel one-hot table dots contract over the padded camera count, so
-at Venice-scale camera counts (configs[3]-class problems) they dominate the
-sweep (docs/PERFORMANCE.md "Camera-window table kernels").  This harness
-measures sweeps/s on a city-scale corridor BA scene — the visibility-local
-regime where the per-tile camera windows engage — with the window kernels
-ON vs OFF, plus a long Manhattan pose graph on the CM fast path.
+Round-4 rework (VERDICT r3 item 1a): the original harness built a single
+1792-camera corridor CHAIN with plain un-annealed sweeps — a scene the
+perf ledger itself documents as beyond the annealed-GBP recipe (NaNs in
+every engine path; docs/PERFORMANCE.md "Long single chains") — and then
+asserted finiteness.  The large-camera workload is now the f32-STABLE
+merged-corridor-blocks city scene (`models/ba.simulate_blocks`, shuffled
+landmark ids so the windowed table path must engage via the locality
+sort — real-BAL-file conditions), measured with the camera-window kernels
+ON vs OFF, plus a loop-closure-rich Manhattan pose graph on the CM fast
+path (loop-rich graphs have bounded effective diameter, unlike chains).
 
 Run ON CHIP (the axon tunnel is single-client; nothing else may hold the
 device):
 
-    python -m gbp_tpu.bench.bigscene [--cams 1792] [--lpc 420] [--sweeps 20]
+    python -m gbp_tpu.bench.bigscene [--blocks 32] [--cams 40] [--lpc 60]
+        [--sweeps 50] [--poses 4000]
 
-Writes gbp_tpu/bench/artifacts/bigscene_tpu_r3.json.
+Writes gbp_tpu/bench/artifacts/bigscene_tpu_r4.json.
 """
 from __future__ import annotations
 
@@ -33,20 +38,26 @@ def _measure_cm(graph, means, cfg, sweeps, window):
     runj = jax.jit(sweep_cm.run, static_argnums=3)
     state = runj(cmg, state, cfg, sweeps)
     state.v[0].mean.block_until_ready()  # compile + warm
-    t0 = time.time()
-    state = runj(cmg, state, cfg, sweeps)
-    state.v[0].mean.block_until_ready()
-    dt = time.time() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        out = runj(cmg, state, cfg, sweeps)
+        out.v[0].mean.block_until_ready()
+        ts.append(time.time() - t0)
+    state = out
+    dt = sorted(ts)[1]
     win_w = int(cmg.win_w) or None  # 0 = windows disabled (full table)
     return sweeps / dt, state, cmg, win_w
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cams", type=int, default=1792)
-    ap.add_argument("--lpc", type=int, default=420,
-                    help="landmarks per camera (factors ~= cams*lpc*7/window)")
-    ap.add_argument("--sweeps", type=int, default=20)
+    ap.add_argument("--blocks", type=int, default=32,
+                    help="independent corridor blocks (f32-stable city scene)")
+    ap.add_argument("--cams", type=int, default=40, help="cameras per block")
+    ap.add_argument("--lpc", type=int, default=60,
+                    help="landmarks per camera within a block")
+    ap.add_argument("--sweeps", type=int, default=50)
     ap.add_argument("--poses", type=int, default=4000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -54,31 +65,36 @@ def main():
     import jax
     import numpy as np
 
+    from gbp_tpu.core import sweep_cm
     from gbp_tpu.core.sweep import GBPConfig
     from gbp_tpu.models import ba, pose_graph
 
     dev = jax.devices()[0]
     out = {"platform": str(dev), "results": {}}
 
-    # --- city-scale corridor BA ---
-    sim = ba.simulate_corridor(n_cams=args.cams, lmks_per_cam=args.lpc,
-                               window=3, seed=0)
-    graph, means = ba.build(sim, cam_prior_prec=1000.0, lmk_prior_prec=1000.0)
+    # --- city-scale merged-blocks BA (shuffled ids -> locality sort) ---
+    sim = ba.simulate_blocks(n_blocks=args.blocks, n_cams=args.cams,
+                             lmks_per_cam=args.lpc, window=3, seed=0,
+                             shuffle=True)
+    n_cams_total = sim["cam_init"].shape[0]
+    graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
+                            lmk_prior_prec=1000.0)
     fb0 = graph.fblocks[0]
     m = fb0.count if fb0.n_valid is None else fb0.n_valid
     cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
                     message_form="pallas")
-    print(f"[bigscene] corridor: {args.cams} cams, "
-          f"{sim['lmk_init'].shape[0]} lmks, {m} factors on {dev}")
+    print(f"[bigscene] city blocks: {n_cams_total} cams "
+          f"({args.blocks}x{args.cams}), {sim['lmk_init'].shape[0]} lmks, "
+          f"{m} factors on {dev}")
     for window in (False, True):
         sps, state, cmg, win_w = _measure_cm(graph, means, cfg, args.sweeps,
                                              window)
-        from gbp_tpu.core import sweep_cm
         are = float(ba.avg_reprojection_error(
             graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"]))
         assert np.isfinite(are), "non-finite ARE"
         tag = "window" if window else "full_table"
         out["results"][f"ba_{tag}"] = {
+            "n_cams": int(n_cams_total),
             "n_factors": int(m), "sweeps_per_s": round(sps, 2),
             "factor_updates_per_s": round(sps * m),
             "are_px": round(are, 4), "win_w": win_w,
@@ -95,7 +111,6 @@ def main():
     pfb = pg.fblocks[0]
     pm = pfb.count if pfb.n_valid is None else pfb.n_valid
     sps, state, cmg, win_w = _measure_cm(pg, pmeans, pcfg, args.sweeps, True)
-    from gbp_tpu.core import sweep_cm
     est = np.asarray(sweep_cm.to_gbp_state(cmg, state).v[0].mean)
     ate = float(pose_graph.ate(est, psim["truth"]))
     assert np.isfinite(ate), "non-finite ATE"
@@ -110,7 +125,7 @@ def main():
           + (f", win_w={win_w}" if win_w else ""))
 
     path = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "artifacts", "bigscene_tpu_r3.json")
+                                    "artifacts", "bigscene_tpu_r4.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[bigscene] wrote {path}")

@@ -86,8 +86,9 @@ def profile_scene(graph, means, cfg, window, iters):
     huber = "row" if fb.huber_arr is not None else fb.huber
     interp = sweep_cm._interpret()
     pk = sweep_cm._pack_beliefs(vs_g)
+    bwtab = mwtab = tab = None
     if cmg.win_w:
-        tab = jnp.pad(pk, ((0, cmg.win_ncpad - pk.shape[0]), (0, 0)))
+        bwtab, mwtab = sweep_cm.window_tables(cmg, pk)
     else:
         ncp = ((pk.shape[0] + mp.LANE - 1) // mp.LANE) * mp.LANE
         tab = jnp.swapaxes(jnp.pad(pk, ((0, ncp - pk.shape[0]), (0, 0))), 0, 1)
@@ -103,8 +104,8 @@ def profile_scene(graph, means, cfg, window, iters):
         def body(_, c):
             lp, jac, r0, srel = c
             if cmg.win_w:
-                return mp.fused_relin_cm_tabwin(
-                    params, cmg.win_starts, mean_e, tab, cmg.gidx_cm, cmg.z,
+                return mp.fused_relin_cm_tabblk(
+                    params, cmg.win_starts, mean_e, mwtab, cmg.gidx_cm, cmg.z,
                     cmg.args, lp, jac, r0, srel, cmg.act, d0=d0, d1=d1,
                     z=zdim, comp_name=fb.ftype.name, n_args=n_args, gslot=g,
                     win_w=cmg.win_w, interpret=interp)
@@ -125,9 +126,9 @@ def profile_scene(graph, means, cfg, window, iters):
         def body(_, msgs):
             me0, ml0, me1, ml1 = msgs
             if cmg.win_w:
-                return mp.fused_messages_cm_tabwin(
+                return mp.fused_messages_cm_tabblk(
                     params, cmg.win_starts, fs.jac, fs.lp, fs.r0, cmg.prec,
-                    fs.srel, cmg.act, be_e, bl_e, tab, cmg.gidx_cm,
+                    fs.srel, cmg.act, be_e, bl_e, bwtab, cmg.gidx_cm,
                     me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim,
                     prec_full=False, huber=huber, gslot=g, win_w=cmg.win_w,
                     interpret=interp)
@@ -148,7 +149,7 @@ def profile_scene(graph, means, cfg, window, iters):
     def segsum_loop(n, carry):
         def body(_, me):
             if cmg.win_w:
-                s = mp.segsum_cm_win(me, ml_g, cmg.gidx_cm, cmg.win_starts,
+                s = mp.segsum_cm_blk(me, ml_g, cmg.gidx_cm, cmg.win_starts,
                                      n_seg=n_g, w=cmg.win_w, exact=True,
                                      interpret=interp)
             else:

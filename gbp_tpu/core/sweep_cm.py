@@ -60,7 +60,7 @@ from gbp_tpu.ops.messages_pallas import (
     fused_messages_cm,
     fused_relin_cm,
     segsum_cm,
-    segsum_cm_win,
+    segsum_cm_blk,
 )
 from gbp_tpu.utils.smalllinalg import scaled_sym_solve
 
@@ -102,7 +102,7 @@ class CMGraph(flax.struct.PyTreeNode):
     gather_mode: str = flax.struct.field(pytree_node=False, default="rows")
     segsum_exact: bool = flax.struct.field(pytree_node=False, default=False)
     # Per-grid-tile camera windows for 'table' mode (ops/messages_pallas.py
-    # `*_tabwin` / `segsum_cm_win`): every gathered-slot id in grid tile i
+    # `*_tabblk` / `segsum_cm_blk`): every gathered-slot id in grid tile i
     # lies in [win_starts[i], win_starts[i] + win_w).  win_w == 0 disables
     # windowing (full-table one-hot dots).  Cuts the reconstruction /
     # reduction MXU work by ~n_gathered/win_w on locality-rich graphs
@@ -116,15 +116,24 @@ class CMGraph(flax.struct.PyTreeNode):
     # Locality sort: graphs whose ELL-group order does not correlate with
     # the gathered slot (random landmark numbering — real BAL files, the
     # corridor sim) get their ELL GROUPS sorted by min gathered id at
-    # prepare time so the per-tile windows become narrow.  Factor-row
-    # arrays (z/prec/args/act/gidx and the resident factor state) live in
-    # sorted order; beliefs stay in USER variable order — the ELL-slot
-    # expand gathers by `eperm` (group position -> variable id) and the
-    # belief update un-permutes the reshape-sum with `epos` (variable id ->
-    # group position).  `rowperm` maps CM row -> fb row for the state
-    # converters.  All None when the natural order is already local enough.
-    eperm: jnp.ndarray | None = None  # [nv] int32 (pad positions -> n)
-    epos: jnp.ndarray | None = None  # [n_ell] int32
+    # prepare time so the per-tile windows become narrow.  Round-4 form:
+    # the sort RELABELS THE ELL VARIABLE BLOCK ITSELF — `base.vblocks[e]`
+    # carries priors in sorted order and the resident belief state lives in
+    # sorted order across sweeps, so the hot loop pays NOTHING (the first
+    # implementation kept beliefs in user order and permuted per sweep;
+    # measured on chip, those eperm/epos gathers ate the ENTIRE ~1.3
+    # ms/sweep window saving at 1280 cams).  `vperm` maps sorted id ->
+    # user id, `vinv` the inverse; the state converters
+    # (to_gbp_state/from_gbp_state, init_state) restore/apply the order at
+    # the boundaries.  `rowperm` maps CM row -> fb row as before.  All
+    # None when the natural order is already local enough.  Only applied
+    # when the two slots reference DIFFERENT variable blocks (BA-class);
+    # same-block pose graphs get windows only in natural order (chain
+    # numbering is already local — docs/PERFORMANCE.md).  Caveat: gauge
+    # anchors addressed by id on the SORTED block would need vinv
+    # coordinates — BA anchors pin the camera block, which never sorts.
+    vperm: jnp.ndarray | None = None  # [n_e] int32 sorted id -> user id
+    vinv: jnp.ndarray | None = None  # [n_e] int32 user id -> sorted id
     rowperm: jnp.ndarray | None = None  # [m] int32
 
     @property
@@ -216,28 +225,35 @@ def prepare(graph: Graph, gather_mode: str = "auto",
 
     edge_pad = lambda a: np.pad(a, (0, pad), mode="edge") if pad else a
     win_starts, win_w, win_ncpad = None, 0, 0
-    eperm = epos = rowperm = None
+    vperm = vinv = rowperm = None
     if window and gather_mode == "table":
         win = _windows(edge_pad(gidx_np))
-        if win is None:
+        if win is None and fb.vblocks[fb.ell_slot] != fb.vblocks[g]:
             # Natural group order is not gathered-slot-local (random
             # landmark numbering — real BAL files, the corridor sim): sort
             # the ELL groups (blocks of `deg` rows; the ELL build guarantees
-            # m == n_ell * deg) by min gathered id and retry.  The
-            # permutation only touches factor-row arrays — beliefs stay in
-            # variable order (see the CMGraph.eperm field comment).
+            # m == n_ell * deg) by min gathered id and retry.  The sort
+            # relabels the ELL variable block — see the CMGraph.vperm
+            # field comment for why (per-sweep unpermutes ate the whole
+            # window win).
             n_ell = m // deg
             gmin = gidx_np.reshape(n_ell, deg).min(1)
             order = np.argsort(gmin, kind="stable")
             rp = (order[:, None] * deg + np.arange(deg)).reshape(-1)
             win = _windows(edge_pad(gidx_np[rp]))
             if win is not None:
+                n_e = graph.vblocks[fb.vblocks[fb.ell_slot]].count
+                assert n_ell == n_e, (n_ell, n_e)  # ELL build covers all ids
                 gidx_np = gidx_np[rp]
-                eperm = jnp.asarray(
-                    np.concatenate([order, np.full(nv - n_ell, n_ell)]),
-                    jnp.int32)
-                epos = jnp.asarray(np.argsort(order), jnp.int32)
+                vperm = jnp.asarray(order, jnp.int32)
+                vinv = jnp.asarray(np.argsort(order), jnp.int32)
                 rowperm = jnp.asarray(rp, jnp.int32)
+                vbs = list(graph.vblocks)
+                vb_e_blk = vbs[fb.vblocks[fb.ell_slot]]
+                vbs[fb.vblocks[fb.ell_slot]] = vb_e_blk.replace(
+                    prior_eta=vb_e_blk.prior_eta[vperm],
+                    prior_lam=vb_e_blk.prior_lam[vperm])
+                graph = graph.replace(vblocks=tuple(vbs))
         if win is not None:
             starts, w, ncpad = win
             win_starts = jnp.asarray(starts, jnp.int32)
@@ -278,8 +294,8 @@ def prepare(graph: Graph, gather_mode: str = "auto",
         win_starts=win_starts,
         win_w=win_w,
         win_ncpad=win_ncpad,
-        eperm=eperm,
-        epos=epos,
+        vperm=vperm,
+        vinv=vinv,
         rowperm=rowperm,
     )
 
@@ -293,9 +309,17 @@ def init_state(cmg: CMGraph, means: tuple) -> CMState:
     m = fb.count
     pad = cmg.mp - m
     t_tiles = cmg.mp // LANE
+    # Beliefs live in the locality-sorted order when cmg.vperm is set (the
+    # base vblock priors were permuted at prepare time); user-order `means`
+    # are permuted to match.  Factor linearization below uses the USER
+    # adjacency + user means (values are row-permuted afterwards).
+    vmeans = list(means)
+    if cmg.vperm is not None:
+        e_blk = fb.vblocks[fb.ell_slot]
+        vmeans[e_blk] = vmeans[e_blk][cmg.vperm]
     vstates = tuple(
         VariableState(eta=vb.prior_eta, lam=vb.prior_lam, mean=mu)
-        for vb, mu in zip(graph.vblocks, means)
+        for vb, mu in zip(graph.vblocks, vmeans)
     )
     x = jnp.concatenate(
         [means[vb][fb.adj[k]] for k, vb in enumerate(fb.vblocks)], axis=-1
@@ -329,16 +353,8 @@ def _expand_ell(cmg: CMGraph, vs: VariableState):
     fb = cmg.fb
     deg = fb.ell_deg
     n, d = vs.eta.shape
-    pk = _pack_beliefs(vs)  # [n, F]
-    if cmg.eperm is not None:
-        # Locality-sorted groups: group position p holds variable eperm[p]
-        # (pad positions hold the identity row appended at index n).
-        from gbp_tpu.gaussians import packed_identity_row
-
-        pk = jnp.concatenate(
-            [pk, packed_identity_row(d, pk.dtype)[None, :]], axis=0
-        )[cmg.eperm]
-    elif cmg.nv > n:
+    pk = _pack_beliefs(vs)  # [n, F] (locality-sorted order when cmg.vperm)
+    if cmg.nv > n:
         from gbp_tpu.gaussians import packed_identity_row
 
         pad_row = packed_identity_row(d, pk.dtype)
@@ -365,11 +381,8 @@ def expand_means(cmg: CMGraph, state: CMState) -> jnp.ndarray:
     vs_g = state.v[fb.vblocks[1 - e]]
     deg = fb.ell_deg
     t_tiles = cmg.mp // LANE
-    me = vs_e.mean
-    if cmg.eperm is not None:
-        me = jnp.concatenate(
-            [me, jnp.zeros((1, me.shape[1]), me.dtype)])[cmg.eperm]
-    elif cmg.nv > me.shape[0]:
+    me = vs_e.mean  # locality-sorted order when cmg.vperm is set
+    if cmg.nv > me.shape[0]:
         me = jnp.concatenate(
             [me, jnp.zeros((cmg.nv - me.shape[0], me.shape[1]), me.dtype)])
     cm_e = jnp.broadcast_to(
@@ -393,6 +406,29 @@ def _expand_gather(cmg: CMGraph, vs: VariableState):
     else:
         cm = _rm2cm(pk[cmg.gidx_rm])
     return cm[:d], cm[d : d + d2], cm[d + d2 :]
+
+
+def window_tables(cmg: CMGraph, pk: jnp.ndarray):
+    """Per-grid-tile camera-window slices of the packed gathered-slot table.
+
+    pk [n_g, 2d + d^2 (+mean)]; returns (bwtab [n_tiles, d + d^2, win_w] —
+    the belief rows for the message kernel, mwtab [n_tiles, d, win_w] — the
+    mean rows for the relin kernel).  One transposed pad + a vmapped
+    dynamic_slice per tile: ~n_tiles * F * win_w * 4 bytes, trivially cheap
+    next to the per-factor kernel streams."""
+    f_all = pk.shape[1]
+    tabT = jnp.swapaxes(
+        jnp.pad(pk, ((0, cmg.win_ncpad - pk.shape[0]), (0, 0))), 0, 1)
+    w = cmg.win_w
+
+    def slice_one(s):
+        return jax.lax.dynamic_slice(
+            tabT, (jnp.zeros((), s.dtype), s), (tabT.shape[0], w))
+
+    wtab = jax.vmap(slice_one)(cmg.win_starts)  # [n_tiles, F, w]
+    # Packed layout is eta | lam | mean: f_all = 2d + d^2 -> d from f_all.
+    dg = next(dd for dd in range(1, 16) if 2 * dd + dd * dd == f_all)
+    return wtab[:, : dg + dg * dg], wtab[:, dg + dg * dg :]
 
 
 @f32_exact
@@ -439,24 +475,28 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
         d_g = fb.dofs[g]
         pk = _pack_beliefs(vs_g)  # [n, 2d + d^2]
         if cmg.win_w:
-            # Windowed fast path: the TRANSPOSED packed table (variables on
-            # sublanes) lets each grid tile reconstruct from its narrow
-            # camera window — bitwise-equal to the full-table dots.
+            # Windowed fast path (round-4 blocked form): per-grid-tile
+            # window slices of the transposed packed table are built by one
+            # cheap XLA gather and delivered to the kernels as normal
+            # blocked operands — value-identical to the full-table dots
+            # (the one-hot still selects exactly one table row).  See
+            # ops/messages_pallas._table_rows_blk for why the first
+            # (VMEM-resident + dynamic-slice) windowed form was replaced.
             from gbp_tpu.ops.messages_pallas import (
-                fused_messages_cm_tabwin,
-                fused_relin_cm_tabwin,
+                fused_messages_cm_tabblk,
+                fused_relin_cm_tabblk,
             )
 
-            tabw = jnp.pad(pk, ((0, cmg.win_ncpad - pk.shape[0]), (0, 0)))
-            lp, jac, r0, srel = fused_relin_cm_tabwin(
-                params, cmg.win_starts, mean_e, tabw, cmg.gidx_cm, cmg.z,
+            bwtab, mwtab = window_tables(cmg, pk)
+            lp, jac, r0, srel = fused_relin_cm_tabblk(
+                params, cmg.win_starts, mean_e, mwtab, cmg.gidx_cm, cmg.z,
                 cmg.args, fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
                 d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
                 n_args=n_args, gslot=g, win_w=cmg.win_w, interpret=interp,
             )
-            oe0, ol0, oe1, ol1 = fused_messages_cm_tabwin(
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tabblk(
                 params, cmg.win_starts, jac, lp, r0, cmg.prec, srel, cmg.act,
-                be_e, bl_e, tabw, cmg.gidx_cm,
+                be_e, bl_e, bwtab, cmg.gidx_cm,
                 fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
                 d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
                 gslot=g, win_w=cmg.win_w, interpret=interp,
@@ -520,16 +560,16 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
         me_e.reshape(d_e, cmg.nv, deg).sum(-1),
         ml_e.reshape(d_e * d_e, cmg.nv, deg).sum(-1),
     ])
-    # Locality-sorted groups: position sums back to variable order.
-    sum_e = (sum_e[:, :n_e] if cmg.epos is None
-             else jnp.take(sum_e, cmg.epos, axis=1))
+    # Beliefs live in the (possibly locality-sorted) group order, so the
+    # reshape-sum is already aligned — no per-sweep unpermute.
+    sum_e = sum_e[:, :n_e]
 
     # Gathered slot: one-hot MXU segment-sum over the CM messages in place.
     d_g = fb.dofs[g]
     vb_g = cmg.base.vblocks[fb.vblocks[g]]
     n_g = vb_g.count
     if cmg.win_w:
-        sum_g = segsum_cm_win(me_g, ml_g, cmg.gidx_cm, cmg.win_starts,
+        sum_g = segsum_cm_blk(me_g, ml_g, cmg.gidx_cm, cmg.win_starts,
                               n_seg=n_g, w=cmg.win_w,
                               exact=cmg.segsum_exact, interpret=interp)
     else:
@@ -594,7 +634,14 @@ def from_gbp_state(cmg: CMGraph, state: GBPState) -> CMState:
         msg_eta=tuple(to_cm(me) for me in fs.msg_eta),
         msg_lam=tuple(to_cm(ml.reshape(m, -1)) for ml in fs.msg_lam),
     )
-    return CMState(v=state.v, f=fstate)
+    vstates = list(state.v)
+    if cmg.vperm is not None:
+        e_blk = fb.vblocks[fb.ell_slot]
+        vs = vstates[e_blk]
+        vstates[e_blk] = VariableState(
+            eta=vs.eta[cmg.vperm], lam=vs.lam[cmg.vperm],
+            mean=vs.mean[cmg.vperm])
+    return CMState(v=tuple(vstates), f=fstate)
 
 
 @jax.jit
@@ -618,4 +665,12 @@ def to_gbp_state(cmg: CMGraph, state: CMState) -> GBPState:
         ),
         since_relin=row(fs.srel).reshape(m).astype(jnp.int32),
     )
-    return GBPState(v=state.v, f=(fstate,))
+    vstates = list(state.v)
+    if cmg.vperm is not None:
+        # Resident beliefs live locality-sorted; restore USER variable order.
+        e_blk = fb.vblocks[fb.ell_slot]
+        vs = vstates[e_blk]
+        vstates[e_blk] = VariableState(
+            eta=vs.eta[cmg.vinv], lam=vs.lam[cmg.vinv],
+            mean=vs.mean[cmg.vinv])
+    return GBPState(v=tuple(vstates), f=(fstate,))

@@ -111,37 +111,6 @@ def _split_f32(tab):
     return (tab,), jax.lax.Precision.HIGHEST
 
 
-def _table_rows_win(tabw_ref, idx_ref, start, *, w, lo, f):
-    """Windowed `_table_rows` on a TRANSPOSED table: out[k][s, l] =
-    tabw[idx[s, l], lo + k].
-
-    tabw_ref is [ncpad, F_all] (variables on the SUBLANE dim, packed
-    components on lanes), so the per-tile camera window is one dynamic
-    sublane slice [w, f] — the one-hot dot contracts over w instead of the
-    full variable count, cutting the reconstruction MXU passes by ncp/w on
-    locality-rich graphs.  Requires every idx in this tile to fall inside
-    [start, start + w) (prepare() guarantees it or disables windowing).
-    Bitwise-equal to the full-table path: the one-hot still selects exactly
-    one row; the extra addends are exact zeros."""
-    tab = tabw_ref[pl.ds(start, w), lo:lo + f]  # [w, f]
-    parts, prec = _split_f32(tab)
-    dn = (((0,), (0,)), ((), ()))  # contract the window dim of both sides
-    cols = []
-    for s in range(SUB):
-        i_s = idx_ref[0, s : s + 1, :]  # [1, LANE]
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 0) + start) == i_s
-        ohf = oh.astype(tab.dtype)
-        acc = None
-        for part in parts:
-            d = jax.lax.dot_general(part, ohf, dn,
-                                    preferred_element_type=tab.dtype,
-                                    precision=prec)
-            acc = d if acc is None else acc + d
-        cols.append(acc)  # [f, LANE]
-    stacked = jnp.stack(cols, axis=1)  # [f, SUB, LANE]
-    return [stacked[k] for k in range(f)]
-
-
 def _mat(comps, r, c):
     """Row-major component list -> component matrix [r][c]."""
     return [[comps[i * c + j] for j in range(c)] for i in range(r)]
@@ -574,152 +543,37 @@ def _win_start(params_ref):
     return params_ref[0, col].astype(jnp.int32)
 
 
-def _kernel_tab_win(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
-                    srel_ref, act_ref, be_o_ref, bl_o_ref, tabw_ref, idx_ref,
-                    me0_ref, ml0_ref, me1_ref, ml1_ref,
-                    oe0_ref, ol0_ref, oe1_ref, ol1_ref,
-                    *, d0, d1, z, prec_full, huber, gslot, win_w):
-    """_kernel_tab with the gathered slot reconstructed from a per-tile
-    camera WINDOW of the transposed packed table (see `_table_rows_win`)."""
-    t = d0 + d1
-    jac = _mat(_comps(jac_ref, z * t), z, t)
-    dg = d1 if gslot == 1 else d0
-    start = _win_start(params_ref)
-    rows = _table_rows_win(tabw_ref, idx_ref, start,
-                           w=win_w, lo=0, f=dg + dg * dg)
-    be_g, bl_g = rows[:dg], rows[dg:]
-    if gslot == 1:
-        be0, bl0, be1, bl1 = be_o_ref, bl_o_ref, be_g, bl_g
-    else:
-        be0, bl0, be1, bl1 = be_g, bl_g, be_o_ref, bl_o_ref
-    _message_math(
-        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
-        srel_ref[0], act_ref[0] > 0.5,
-        be0, bl0, be1, bl1,
-        me0_ref, ml0_ref, me1_ref, ml1_ref,
-        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
-        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
-    )
+def _table_rows_blk(tab_ref, idx_ref, start, *, w, lo, f):
+    """Windowed `_table_rows` on a PER-TILE BLOCKED window slice: out[k][s, l]
+    = tab[lo + k, idx[s, l] - start], where tab_ref is this grid tile's
+    [F_all, w] window of the transposed packed table, delivered by a normal
+    blocked BlockSpec (index map i -> (i, 0, 0)).
 
-
-def _kernel_relin_tab_win(params_ref, xo_ref, tabw_ref, idx_ref,
-                          z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
-                          srel_ref, act_ref,
-                          olp_ref, ojac_ref, or0_ref, osrel_ref,
-                          *, d0, d1, z, comp_name, n_args, gslot, win_w):
-    """_kernel_relin_tab reading the gathered slot's means from the windowed
-    transposed table (mean components sit after eta|lam in the packed row);
-    window starts folded into params (see `_win_start`)."""
-    dg = d1 if gslot == 1 else d0
-    do = d0 + d1 - dg
-    xo = _comps(xo_ref, do)
-    start = _win_start(params_ref)
-    xg = _table_rows_win(tabw_ref, idx_ref, start,
-                         w=win_w, lo=dg + dg * dg, f=dg)
-    x = xo + xg if gslot == 1 else xg + xo
-    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
-                jac_ref, r0_ref, srel_ref, act_ref,
-                olp_ref, ojac_ref, or0_ref, osrel_ref,
-                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
-
-
-def _tabw_spec_of(tabw):
-    return pl.BlockSpec(tabw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "win_w",
-                     "interpret"),
-)
-def fused_messages_cm_tabwin(params, starts, jac, x0, r0, prec, since_relin,
-                             active, be_o, bl_o, tabw, gidx,
-                             me0, ml0, me1, ml1,
-                             *, d0, d1, z, prec_full, huber, gslot, win_w,
-                             interpret=False):
-    """fused_messages_cm_tab with per-tile camera windows: `tabw` is the
-    TRANSPOSED packed table [ncpad, 2*dg + dg^2] (eta|lam|mean) and
-    `starts` [n_tiles] int32 gives each grid step's window start (multiple
-    of 8; every gidx in tile i lies in [starts[i], starts[i] + win_w)).
-    The reconstruction dot contracts over win_w instead of the padded
-    variable count — the large-problem fast path on locality-rich graphs."""
-    dt = jac.dtype
-    t_tiles = jac.shape[1]
-    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
-    grid = (t_tiles // SUB,)
-    # Window starts ride in the params row (see _win_start): exact in f32
-    # (the 6 MB table gate bounds ncpad far below 2^24).
-    params_ext = jnp.concatenate(
-        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
-    cm_args = [jac, x0, r0, prec, since_relin, active, be_o, bl_o]
-    msg_args = [me0, ml0, me1, ml1]
-    in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [_cm_spec_of(a) for a in cm_args]
-        + [_tabw_spec_of(tabw), _cm_spec_of(gidx)]
-        + [_cm_spec_of(a) for a in msg_args]
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
-        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
-        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
-        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
-    ]
-    out_specs = [_cm_spec_of(o) for o in out_shape]
-    kernel = functools.partial(
-        _kernel_tab_win, d0=d0, d1=d1, z=z, prec_full=prec_full,
-        huber=_huber_static(huber), gslot=gslot,
-        win_w=win_w,
-    )
-    return pl.pallas_call(
-        kernel, grid=grid, out_shape=out_shape,
-        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
-    )(params_ext, *cm_args, tabw.astype(dt), gidx, *msg_args)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot", "win_w",
-                     "interpret"),
-)
-def fused_relin_cm_tabwin(params, starts, x_other, tabw, gidx, z_meas, fargs,
-                          linpoint, jac, r0, since_relin, active,
-                          *, d0, d1, z, comp_name, n_args, gslot, win_w,
-                          interpret=False):
-    """fused_relin_cm_tab with the gathered slot's means from the windowed
-    transposed packed table (see fused_messages_cm_tabwin)."""
-    dt = x_other.dtype
-    t = d0 + d1
-    t_tiles = x_other.shape[1]
-    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
-    grid = (t_tiles // SUB,)
-    if fargs is None or n_args == 0:
-        fargs = jnp.zeros((1, t_tiles, LANE), dt)
-        n_args = 0
-    params_ext = jnp.concatenate(
-        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
-    cm_args1 = [x_other]
-    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
-    in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [_cm_spec_of(a) for a in cm_args1]
-        + [_tabw_spec_of(tabw), _cm_spec_of(gidx)]
-        + [_cm_spec_of(a) for a in cm_args2]
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
-        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
-        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
-        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
-    ]
-    out_specs = [_cm_spec_of(o) for o in out_shape]
-    kernel = functools.partial(_kernel_relin_tab_win, d0=d0, d1=d1, z=z,
-                               comp_name=comp_name, n_args=n_args,
-                               gslot=gslot, win_w=win_w)
-    return pl.pallas_call(
-        kernel, grid=grid, out_shape=out_shape,
-        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
-    )(params_ext, x_other, tabw.astype(dt), gidx, *cm_args2)
+    This is the round-4 rewrite of `_table_rows_win`: the first windowed
+    kernels kept the whole [ncpad, F] table VMEM-resident and took a
+    dynamic sublane slice per tile with LHS-transposed dots — measured on
+    chip, that recovered only ~1 of the ~5-6.5 ns/row the window should
+    save at 1280 cams (gbp_tpu/bench/artifacts/window_profile_tpu_r4.json).
+    Per-tile blocks restore the exact structure of the proven fast
+    `_table_rows` path: standard dot orientation, standard Pallas
+    pipelining, no dynamic slicing, no giant resident buffer."""
+    tab = tab_ref[0, lo:lo + f]  # [f, w]
+    parts, prec = _split_f32(tab)
+    dn = (((1,), (0,)), ((), ()))
+    cols = []
+    for s in range(SUB):
+        i_s = idx_ref[0, s : s + 1, :]  # [1, LANE]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 0) + start) == i_s
+        ohf = oh.astype(tab.dtype)
+        acc = None
+        for part in parts:
+            d = jax.lax.dot_general(part, ohf, dn,
+                                    preferred_element_type=tab.dtype,
+                                    precision=prec)
+            acc = d if acc is None else acc + d
+        cols.append(acc)  # [f, LANE]
+    stacked = jnp.stack(cols, axis=1)  # [f, SUB, LANE]
+    return [stacked[k] for k in range(f)]
 
 
 def _kernel_segsum(me_ref, ml_ref, idx_ref, out_ref, *, d, ncp, exact):
@@ -809,21 +663,345 @@ def segsum_cm(me, ml, idx, *, n_seg, exact=False, interpret=False):
     return out[:, :n_seg]
 
 
-def _kernel_segsum_win(starts_ref, me_ref, ml_ref, idx_ref, out_ref,
+def _kernel_tab_blk(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
+                    srel_ref, act_ref, be_o_ref, bl_o_ref, wtab_ref, idx_ref,
+                    me0_ref, ml0_ref, me1_ref, ml1_ref,
+                    oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                    *, d0, d1, z, prec_full, huber, gslot, win_w):
+    """_kernel_tab with the gathered slot reconstructed from this tile's
+    BLOCKED camera-window slice (see `_table_rows_blk`)."""
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    dg = d1 if gslot == 1 else d0
+    start = _win_start(params_ref)
+    rows = _table_rows_blk(wtab_ref, idx_ref, start,
+                           w=win_w, lo=0, f=dg + dg * dg)  # belief-only slice
+    be_g, bl_g = rows[:dg], rows[dg:]
+    if gslot == 1:
+        be0, bl0, be1, bl1 = be_o_ref, bl_o_ref, be_g, bl_g
+    else:
+        be0, bl0, be1, bl1 = be_g, bl_g, be_o_ref, bl_o_ref
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0, bl0, be1, bl1,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
+def _kernel_relin_tab_blk(params_ref, xo_ref, wtab_ref, idx_ref,
+                          z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
+                          srel_ref, act_ref,
+                          olp_ref, ojac_ref, or0_ref, osrel_ref,
+                          *, d0, d1, z, comp_name, n_args, gslot, win_w):
+    """_kernel_relin_tab reading the gathered slot's means from this tile's
+    blocked window slice (the MEAN-only slice of the per-tile stack)."""
+    dg = d1 if gslot == 1 else d0
+    do = d0 + d1 - dg
+    xo = _comps(xo_ref, do)
+    start = _win_start(params_ref)
+    xg = _table_rows_blk(wtab_ref, idx_ref, start, w=win_w, lo=0, f=dg)
+    x = xo + xg if gslot == 1 else xg + xo
+    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+def _wtab_spec_of(wtab):
+    return pl.BlockSpec((1,) + wtab.shape[1:], lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "win_w",
+                     "interpret"),
+)
+def fused_messages_cm_tabblk(params, starts, jac, x0, r0, prec, since_relin,
+                             active, be_o, bl_o, wtab, gidx,
+                             me0, ml0, me1, ml1,
+                             *, d0, d1, z, prec_full, huber, gslot, win_w,
+                             interpret=False):
+    """Camera-window message kernel, round-4 blocked form: `wtab` is the
+    stack of per-grid-tile window slices [n_tiles, dg + dg^2, win_w] of the
+    transposed packed belief table (built by one cheap XLA vmapped
+    dynamic_slice — core/sweep_cm.window_tables), delivered per tile by a
+    normal blocked BlockSpec; `starts` [n_tiles] rides in the params SMEM
+    row for the one-hot offset.  Numerics identical to the full-table
+    kernels (the one-hot still selects exactly one table row).  Measured on
+    chip at 1280 cams / 367k factors: 1.88 -> 1.07 ms isolated (the same
+    2.42 us/tile as the 64-cam bench — the window restores bench-rate
+    reconstruction), 7.54 -> 6.08 ms/sweep end-to-end with the relabeling
+    locality sort (+24%)."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
+    cm_args = [jac, x0, r0, prec, since_relin, active, be_o, bl_o]
+    msg_args = [me0, ml0, me1, ml1]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args]
+        + [_wtab_spec_of(wtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in msg_args]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(
+        _kernel_tab_blk, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=_huber_static(huber), gslot=gslot, win_w=win_w,
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, *cm_args, wtab.astype(dt), gidx, *msg_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot", "win_w",
+                     "interpret"),
+)
+def fused_relin_cm_tabblk(params, starts, x_other, wtab, gidx, z_meas, fargs,
+                          linpoint, jac, r0, since_relin, active,
+                          *, d0, d1, z, comp_name, n_args, gslot, win_w,
+                          interpret=False):
+    """Camera-window relinearization kernel, round-4 blocked form (see
+    fused_messages_cm_tabblk); `wtab` here is the mean-only per-tile stack
+    [n_tiles, dg, win_w]."""
+    dt = x_other.dtype
+    t = d0 + d1
+    t_tiles = x_other.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
+    cm_args1 = [x_other]
+    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args1]
+        + [_wtab_spec_of(wtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in cm_args2]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(_kernel_relin_tab_blk, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args,
+                               gslot=gslot, win_w=win_w)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, x_other, wtab.astype(dt), gidx, *cm_args2)
+
+
+def _kernel_tab_blkg(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
+                     srel_ref, act_ref, be_o_ref, bl_o_ref, wtab_ref,
+                     gtab_ref, idx_ref,
+                     me0_ref, ml0_ref, me1_ref, ml1_ref,
+                     oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                     *, d0, d1, z, prec_full, huber, gslot, win_w, n_own):
+    """_kernel_tab_blk for the halo paths: the chip-local gathered universe
+    is [owned | ghosts], owned ids come from this tile's camera window
+    (wtab, blocked) and ghost ids from the small full ghost table (gtab,
+    whole-grid VMEM, lane-major like `_table_rows`).  A one-hot row for an
+    id outside its table's range is exactly zero, so the two
+    reconstructions simply ADD — no select."""
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    dg = d1 if gslot == 1 else d0
+    f = dg + dg * dg
+    start = _win_start(params_ref)
+    rows_o = _table_rows_blk(wtab_ref, idx_ref, start, w=win_w, lo=0, f=f)
+    rows_g = _table_rows_off(gtab_ref, idx_ref, n_own, f=f)
+    rows = [a + b for a, b in zip(rows_o, rows_g)]
+    be_g, bl_g = rows[:dg], rows[dg:]
+    if gslot == 1:
+        be0, bl0, be1, bl1 = be_o_ref, bl_o_ref, be_g, bl_g
+    else:
+        be0, bl0, be1, bl1 = be_g, bl_g, be_o_ref, bl_o_ref
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0, bl0, be1, bl1,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
+def _table_rows_off(tab_ref, idx_ref, off, *, f):
+    """`_table_rows` with the one-hot shifted by `off`: out[k][s, l] =
+    tab[k, idx[s, l] - off], zero when idx is outside [off, off + ncp)."""
+    tab = tab_ref[...]  # [f, ncp]
+    ncp = tab.shape[1]
+    dn = (((1,), (0,)), ((), ()))
+    parts, prec = _split_f32(tab)
+    cols = []
+    for s in range(SUB):
+        i_s = idx_ref[0, s : s + 1, :]  # [1, LANE]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (ncp, LANE), 0) + off) == i_s
+        ohf = oh.astype(tab.dtype)
+        acc = None
+        for part in parts:
+            d = jax.lax.dot_general(part, ohf, dn,
+                                    preferred_element_type=tab.dtype,
+                                    precision=prec)
+            acc = d if acc is None else acc + d
+        cols.append(acc)  # [f, LANE]
+    stacked = jnp.stack(cols, axis=1)
+    return [stacked[k] for k in range(f)]
+
+
+def _kernel_relin_tab_blkg(params_ref, xo_ref, wtab_ref, gtab_ref, idx_ref,
+                           z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
+                           srel_ref, act_ref,
+                           olp_ref, ojac_ref, or0_ref, osrel_ref,
+                           *, d0, d1, z, comp_name, n_args, gslot, win_w,
+                           n_own):
+    """Halo windowed relin: means from the owned window + full ghost table
+    (mean-only slices; see _kernel_tab_blkg)."""
+    dg = d1 if gslot == 1 else d0
+    do = d0 + d1 - dg
+    xo = _comps(xo_ref, do)
+    start = _win_start(params_ref)
+    xg_o = _table_rows_blk(wtab_ref, idx_ref, start, w=win_w, lo=0, f=dg)
+    xg_g = _table_rows_off(gtab_ref, idx_ref, n_own, f=dg)
+    xg = [a + b for a, b in zip(xg_o, xg_g)]
+    x = xo + xg if gslot == 1 else xg + xo
+    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "win_w",
+                     "n_own", "interpret"),
+)
+def fused_messages_cm_tabblkg(params, starts, jac, x0, r0, prec, since_relin,
+                              active, be_o, bl_o, wtab, gtab, gidx,
+                              me0, ml0, me1, ml1,
+                              *, d0, d1, z, prec_full, huber, gslot, win_w,
+                              n_own, interpret=False):
+    """fused_messages_cm_tabblk for the halo paths: owned-slot beliefs from
+    per-tile window slices `wtab` [n_tiles, dg + dg^2, win_w], ghost-slot
+    beliefs from the small full table `gtab` [dg + dg^2, ngp] (whole-grid
+    VMEM; ghosts are O(boundary) by construction, so a full-table dot over
+    them is cheap at any scale)."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
+    cm_args = [jac, x0, r0, prec, since_relin, active, be_o, bl_o]
+    msg_args = [me0, ml0, me1, ml1]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args]
+        + [_wtab_spec_of(wtab), _tab_spec_of(gtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in msg_args]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(
+        _kernel_tab_blkg, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=_huber_static(huber), gslot=gslot, win_w=win_w, n_own=n_own,
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, *cm_args, wtab.astype(dt), gtab.astype(dt), gidx,
+      *msg_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot", "win_w",
+                     "n_own", "interpret"),
+)
+def fused_relin_cm_tabblkg(params, starts, x_other, wtab, gtab, gidx, z_meas,
+                           fargs, linpoint, jac, r0, since_relin, active,
+                           *, d0, d1, z, comp_name, n_args, gslot, win_w,
+                           n_own, interpret=False):
+    """fused_relin_cm_tabblk for the halo paths (mean-only `wtab`
+    [n_tiles, dg, win_w] + ghost mean table `gtab` [dg, ngp])."""
+    dt = x_other.dtype
+    t = d0 + d1
+    t_tiles = x_other.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), starts.astype(dt)]).reshape(1, -1)
+    cm_args1 = [x_other]
+    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args1]
+        + [_wtab_spec_of(wtab), _tab_spec_of(gtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in cm_args2]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(_kernel_relin_tab_blkg, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args,
+                               gslot=gslot, win_w=win_w, n_own=n_own)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, x_other, wtab.astype(dt), gtab.astype(dt), gidx,
+      *cm_args2)
+
+
+def _kernel_segsum_blk(params_ref, me_ref, ml_ref, idx_ref, out_ref,
                        *, d, w, exact):
-    """Windowed `_kernel_segsum` on a TRANSPOSED accumulator out [ncpad, f]:
-    each grid step read-modify-writes only its tile's camera window
-    out[start : start + w, :] — the one-hot dot is [w, LANE] x [f, LANE]^T
-    instead of [ncp, LANE], cutting the reduction MXU passes by ncp/w."""
-    g = pl.program_id(0)
-
-    @pl.when(g == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    start = starts_ref[g]
-    acc = out_ref[pl.ds(start, w), :]  # [w, f]
-    dn = (((1,), (1,)), ((), ()))  # contract the LANE dim of both sides
+    """Per-tile windowed segment-sum partials: out[0][f, j] = sum over this
+    tile's factors with idx == start + j.  Same proven dot orientation as
+    `_kernel_segsum` (values [f, LANE] x one-hot [w, LANE], contract LANE);
+    each grid step OWNS its output block (index map i -> (i, 0, 0)) so there
+    is no revisited accumulator and no read-modify-write — the cross-tile
+    combine is one cheap XLA segment_sum over [n_tiles * w, f] wide rows
+    (segsum_cm_blk)."""
+    start = _win_start(params_ref)
+    acc = jnp.zeros_like(out_ref[0])  # [f, w]
+    dn = (((1,), (1,)), ((), ()))
     for s in range(SUB):
         sub = jnp.concatenate([me_ref[:, s, :], ml_ref[:, s, :]], axis=0)
         i_s = idx_ref[0, s : s + 1, :]
@@ -833,57 +1011,62 @@ def _kernel_segsum_win(starts_ref, me_ref, ml_ref, idx_ref, out_ref,
             ohf = oh.astype(jnp.float32)
             for part in parts:
                 acc = acc + jax.lax.dot_general(
-                    ohf, part, dn, preferred_element_type=jnp.float32,
+                    part, ohf, dn, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
         elif exact:
             acc = acc + jax.lax.dot_general(
-                oh.astype(sub.dtype), sub, dn,
+                sub, oh.astype(sub.dtype), dn,
                 preferred_element_type=acc.dtype,
                 precision=jax.lax.Precision.HIGHEST)
         else:
-            # hi/lo bf16 split, as in _kernel_segsum's default mode.
             ohf = oh.astype(jnp.float32)
             hi = sub.astype(jnp.bfloat16).astype(jnp.float32)
             lo = (sub - hi).astype(jnp.bfloat16).astype(jnp.float32)
             for part in (hi, lo):
                 acc = acc + jax.lax.dot_general(
-                    ohf, part, dn, preferred_element_type=jnp.float32,
+                    part, ohf, dn, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    out_ref[pl.ds(start, w), :] = acc
+    out_ref[0] = acc
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_seg", "w", "exact", "interpret"))
-def segsum_cm_win(me, ml, idx, starts, *, n_seg, w, exact=False,
+def segsum_cm_blk(me, ml, idx, starts, *, n_seg, w, exact=False,
                   interpret=False):
-    """segsum_cm with per-tile camera windows (see fused_messages_cm_tabwin
-    for the window contract).  Returns [d + d*d, n_seg] like segsum_cm; the
-    kernel accumulates transposed and the cheap [ncpad, f] -> [f, n_seg]
-    transpose happens outside."""
+    """Camera-window segment-sum, round-4 blocked form: the kernel emits
+    per-tile partial sums [n_tiles, f, w] (no revisited accumulator, no
+    dynamic-slice read-modify-write), XLA combines them into [f, n_seg]
+    with one segment_sum over wide [n_tiles * w, f] rows keyed by
+    starts[i] + j (windows of adjacent tiles overlap, hence the add).
+    Same return convention as segsum_cm."""
     d = me.shape[0]
     f = d + ml.shape[0]
     t_tiles = me.shape[1]
     dt = me.dtype
     if dt != jnp.float32:
         exact = True  # the bf16 split only makes sense for f32 operands
-    ncpad = ((n_seg + SUB - 1) // SUB) * SUB
     assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
-    grid = (t_tiles // SUB,)
+    n_tiles = t_tiles // SUB
+    grid = (n_tiles,)
 
     def cm_spec(a):
         return pl.BlockSpec((a.shape[0], SUB, LANE), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel_segsum_win, d=d, w=w, exact=exact),
+    params_ext = starts.astype(dt).reshape(1, -1)
+    partial_out = pl.pallas_call(
+        functools.partial(_kernel_segsum_blk, d=d, w=w, exact=exact),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   cm_spec(me), cm_spec(ml), cm_spec(idx)],
-        out_specs=pl.BlockSpec((ncpad, f), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, f, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ncpad, f), dt),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, f, w), dt),
         interpret=interpret,
-    )(starts, me, ml, idx)
+    )(params_ext, me, ml, idx)
+    ids = (starts[:, None] + jnp.arange(w, dtype=starts.dtype)).reshape(-1)
+    rows = jnp.swapaxes(partial_out, 1, 2).reshape(n_tiles * w, f)
+    out = jax.ops.segment_sum(rows, ids, num_segments=n_seg + w)
     return jnp.swapaxes(out[:n_seg], 0, 1)
 
 

@@ -150,14 +150,24 @@ def _balanced_cut(weights: np.ndarray, n_chips: int) -> np.ndarray:
 
 
 def partition(graph: Graph, n_chips: int, anchor_slot: int = 0,
-              comm_mode: str = "auto") -> HaloProblem:
+              comm_mode: str = "auto", order_keys: dict | None = None
+              ) -> HaloProblem:
     """Partition `graph` (plain row layout) into an owner-sharded HaloProblem.
 
     anchor_slot: the factor slot whose variable's owner the factor follows
     (cameras/keyframes for BA — the keyframe-block partition).
     comm_mode: "auto" picks per vblock between the all_gather exchange and
     the per-offset ppermute neighbor exchange by modelled bytes; "gather" /
-    "permute" force one."""
+    "permute" force one.
+    order_keys: optional {vblock index: [count] key array} — each chip's
+    owned/ghost slot assignment for that block follows ascending key
+    instead of ascending global id.  Local slot numbering is free under
+    halo (collect_means maps through owned_ids), so this is how the
+    camera-window locality sort comes for FREE per chip: keying landmarks
+    by their min adjacent camera makes consecutive per-chip ELL groups see
+    nearby cameras (halo_cm window support) with zero per-sweep cost —
+    unlike the single-chip path, which must relabel a user-visible block
+    (core/sweep_cm.CMGraph.vperm)."""
     nvb = len(graph.vblocks)
     vcounts = [vb.count for vb in graph.vblocks]
     adjs = [[np.asarray(a) for a in fb.adj] for fb in graph.fblocks]
@@ -197,16 +207,22 @@ def partition(graph: Graph, n_chips: int, anchor_slot: int = 0,
         owner_of[vbi] = own
 
     # 4. Per-chip local universes: owned + ghosts, and local id maps.
-    owned_lists = [[np.where(owner_of[vbi] == c)[0] for c in range(n_chips)]
-                   for vbi in range(nvb)]
+    def by_key(vbi, ids):
+        if order_keys is None or vbi not in order_keys:
+            return ids
+        return ids[np.argsort(np.asarray(order_keys[vbi])[ids],
+                              kind="stable")]
+
+    owned_lists = [[by_key(vbi, np.where(owner_of[vbi] == c)[0])
+                    for c in range(n_chips)] for vbi in range(nvb)]
     ghost_sets = [[set() for _ in range(n_chips)] for _ in range(nvb)]
     for fi, fb in enumerate(graph.fblocks):
         for k, tvb in enumerate(fb.vblocks):
             ghosted = owner_of[tvb][adjs[fi][k]] != fowner[fi]
             for v, c in zip(adjs[fi][k][ghosted], fowner[fi][ghosted]):
                 ghost_sets[tvb][int(c)].add(int(v))
-    ghost_lists = [[np.array(sorted(s), dtype=np.int64) for s in per_vb]
-                   for per_vb in ghost_sets]
+    ghost_lists = [[by_key(vbi, np.array(sorted(s), dtype=np.int64))
+                    for s in per_vb] for per_vb in ghost_sets]
 
     n_own_max = [max(max(len(o) for o in owned_lists[vbi]), 1)
                  for vbi in range(nvb)]

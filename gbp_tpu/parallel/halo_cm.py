@@ -33,10 +33,12 @@ from gbp_tpu.core.sweep import GBPConfig, VariableState, f32_exact
 from gbp_tpu.core.sweep_cm import CMFactorState, _rm2cm
 from gbp_tpu.ops.messages_pallas import (
     LANE,
+    SUB,
     TILE,
     fused_messages_cm,
     fused_relin_cm,
     segsum_cm,
+    segsum_cm_blk,
 )
 from gbp_tpu.parallel import halo as halo_mod
 
@@ -70,6 +72,22 @@ class HaloCMGraph(flax.struct.PyTreeNode):
     # 'table': gathered-slot beliefs reconstructed in-kernel from a VMEM
     # table (core/sweep_cm.py gather_mode='table'); 'rows': HBM expansion.
     gather_mode: str = flax.struct.field(pytree_node=False, default="rows")
+    # Per-chip camera windows (VERDICT r3 item 3): each grid tile's OWNED
+    # gathered-slot ids lie in [win_starts[c, i], ... + win_w); ghost ids
+    # (>= n_own_max, at the END of the local universe by construction) are
+    # reconstructed from a small full ghost table instead — the two one-hot
+    # dots simply add (an out-of-range id matches nothing).  The locality
+    # ordering comes FREE from halo.partition(order_keys=...): per-chip
+    # slot numbering is not user-visible, so no vperm/relabeling cost.
+    # Windows engage only where they pay: partitioning itself already
+    # shrinks the per-chip table, so this matters at >= ~512 owned
+    # cams/chip (city-scale pods).
+    win_starts: jnp.ndarray | None = None  # [P, n_tiles] int32
+    gidx_ghost_cm: jnp.ndarray | None = None  # [P, 1, T, LANE] rebased ids
+    cut_ids: jnp.ndarray | None = None  # [P, win_ncut] owned cams dup'd
+    win_w: int = flax.struct.field(pytree_node=False, default=0)
+    win_ngp: int = flax.struct.field(pytree_node=False, default=0)
+    win_ncut: int = flax.struct.field(pytree_node=False, default=0)
 
 
 class HaloCMState(flax.struct.PyTreeNode):
@@ -79,12 +97,15 @@ class HaloCMState(flax.struct.PyTreeNode):
 
 
 def prepare(hp: halo_mod.HaloProblem,
-            segsum_exact: bool = True, gather_mode: str = "auto"):
+            segsum_exact: bool = True, gather_mode: str = "auto",
+            window: bool = True):
     """Build the per-chip ELL/CM layout for a generic HaloProblem, or None
     if the graph is ineligible (falls back to the generic halo sweep).
 
     gather_mode 'auto' picks the in-kernel VMEM belief table for the
-    gathered slot when it fits (the single-chip fast path), else 'rows'."""
+    gathered slot when it fits (the single-chip fast path), else 'rows'.
+    window=True additionally enables per-chip camera windows when they pay
+    (see HaloCMGraph.win_starts)."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
     g = hp.src_graph
@@ -146,6 +167,16 @@ def prepare(hp: halo_mod.HaloProblem,
         first = np.zeros(nv, dtype=np.int64)
         has = degc > 0
         first[has] = rows[starts[:-1][has]]
+        if has.any() and not has.all():
+            # Empty/pad groups clone the NEAREST previous non-empty group's
+            # first row (forward-fill; leading empties back-fill), so their
+            # gathered-slot ids stay inside their neighbors' camera window
+            # — cloning row 0 would inject a far-away camera id into tail
+            # tiles and blow the per-tile window spans.
+            idxs = np.where(has, np.arange(nv), -1)
+            ff = np.maximum.accumulate(idxs)
+            ff[ff < 0] = np.flatnonzero(has)[0]
+            first = first[ff]
         src[c] = np.repeat(first, deg)
         src[c, dest] = rows
         act[c, dest] = 1.0
@@ -175,6 +206,66 @@ def prepare(hp: halo_mod.HaloProblem,
         ncp = ((n_loc_g + LANE - 1) // LANE) * LANE
         fits = (2 * d_g + d_g * d_g) * ncp * 4 <= 4 * 1024 * 1024
         gather_mode = "table" if fits else "rows"
+
+    # Per-chip camera windows over the OWNED gathered-slot range.  Ghost
+    # cams sit at the end of the local universe and get a small full-table
+    # dot of their own; rows of ghost-ELL/pad GROUPS referencing owned cams
+    # ("cut rows" — boundary landmarks owned elsewhere, looking back at
+    # this chip's cut cameras from the END of the ELL universe) would blow
+    # the per-tile spans, so their ids are REMAPPED into an extension of
+    # the ghost table that duplicates those boundary-camera beliefs; their
+    # reductions scatter-add back onto the owned sums (static `cut_ids`
+    # wiring, zero per-sweep permutes).  One static width across
+    # chips/tiles; gated on the dots actually shrinking vs the full local
+    # table.
+    win_starts = gidx_ghost = cut_ids = None
+    win_w = win_ngp = win_ncut = 0
+    no_g, ng_g = c_g.n_own_max, max(c_g.n_ghost_max, 1)
+    n_own_e = c_e.n_own_max
+    if window and gather_mode == "table":
+        nopad = ((no_g + SUB - 1) // SUB) * SUB
+        # main rows = rows of OWNED-ELL groups; edge rows (ghost-ELL +
+        # pad groups) are remapped below.
+        main = (np.arange(mp) // deg < n_own_e)[None, :]  # [1, mp]
+        own = np.where(main & (gidx < no_g), gidx, -1).reshape(P_, -1, TILE)
+        has_own = (own >= 0).any(-1)
+        mins = np.where(has_own, np.where(own >= 0, own, no_g).min(-1), 0)
+        maxs = np.where(has_own, own.max(-1), 0)
+        w = (int((maxs - mins).max()) + 1 + SUB + LANE - 1) // LANE * LANE
+        # cut rows: edge rows referencing OWNED cams.
+        edge_own = (~main) & (gidx < no_g)
+        cuts = [np.unique(gidx[c][edge_own[c]]) for c in range(P_)]
+        ncut = max((len(x) for x in cuts), default=0)
+        ncutp = ((ncut + SUB - 1) // SUB) * SUB if ncut else 0
+        ngp = ((ng_g + LANE - 1) // LANE) * LANE
+        ncp_full = ((n_loc_g + LANE - 1) // LANE) * LANE
+        if 2 * (w + ngp + ncutp) <= ncp_full:
+            starts = np.clip(mins, 0, max(nopad - w, 0)) // SUB * SUB
+            assert (np.where(has_own, maxs, starts) < starts + w).all()
+            # Remap cut rows: owned id -> no_g + ngp + position in the
+            # chip's cut list (the extension rows of the ghost table).
+            gidx = gidx.copy()
+            cut_np = np.zeros((P_, max(ncutp, 1)), dtype=np.int32)
+            for c in range(P_):
+                cut_np[c, : len(cuts[c])] = cuts[c]
+                if len(cuts[c]):
+                    lut = np.full(no_g, -1, dtype=np.int64)
+                    lut[cuts[c]] = np.arange(len(cuts[c]))
+                    sel = edge_own[c]
+                    gidx[c][sel] = (no_g + ngp + lut[gidx[c][sel]]).astype(
+                        np.int32)
+            win_starts = jnp.asarray(starts, jnp.int32)
+            win_w, win_ngp, win_ncut = int(w), int(ngp), int(max(ncutp, 1))
+            cut_ids = jnp.asarray(cut_np)
+            # Ghost-table ids (ghosts + cut extension) rebased to the
+            # table's row space; sentinel (out of range) for window rows.
+            sentinel = ngp + win_ncut
+            gg = np.where(gidx >= no_g, gidx - no_g, sentinel).astype(
+                np.int32)
+            gidx_ghost = jnp.stack([
+                _rm2cm(jnp.asarray(gg[c][:, None])) for c in range(P_)
+            ]).astype(jnp.int32)
+
     hcm = HaloCMGraph(
         vblocks=hp.hgraph.vblocks,
         comm=hp.hgraph.comm,
@@ -193,6 +284,8 @@ def prepare(hp: halo_mod.HaloProblem,
         comp_name=fb.ftype.name, n_args=n_args, huber=huber,
         n_loc_e=n_loc_e, n_loc_g=n_loc_g, segsum_exact=segsum_exact,
         gather_mode=gather_mode,
+        win_starts=win_starts, gidx_ghost_cm=gidx_ghost, cut_ids=cut_ids,
+        win_w=win_w, win_ngp=win_ngp, win_ncut=win_ncut,
     )
     # global ids per reordered row (host-side, for init_state)
     rows_global = hp.fb_src_rows[0][np.arange(P_)[:, None], src]
@@ -314,7 +407,52 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
     be_e, bl_e, mean_e = cm_e[:d_e], cm_e[d_e : d_e + d2e], cm_e[d_e + d2e :]
     d0, d1 = hcm.dofs
     fs = state.f
-    if hcm.gather_mode == "table":
+    if hcm.gather_mode == "table" and hcm.win_w:
+        # Per-chip camera windows: owned beliefs from per-tile window
+        # slices, ghost beliefs from the small full ghost table; the two
+        # one-hot reconstructions add (see HaloCMGraph.win_starts).
+        from gbp_tpu.ops.messages_pallas import (
+            fused_messages_cm_tabblkg,
+            fused_relin_cm_tabblkg,
+        )
+
+        no = hcm.comm[hcm.vb_g].n_own_max
+        nopad = ((no + SUB - 1) // SUB) * SUB
+        ownT = jnp.swapaxes(
+            jnp.pad(pk_g[:no], ((0, nopad - no), (0, 0))), 0, 1)
+        w = hcm.win_w
+
+        def slice_one(s):
+            return jax.lax.dynamic_slice(
+                ownT, (jnp.zeros((), s.dtype), s), (ownT.shape[0], w))
+
+        wtab = jax.vmap(slice_one)(hcm.win_starts)  # [n_tiles, F, w]
+        # Ghost table = [ghost beliefs (pad to ngp) | cut-camera beliefs]:
+        # the extension duplicates boundary-camera rows referenced by
+        # ghost-ELL groups (see prepare's cut-row remap).
+        gtab = jnp.swapaxes(jnp.concatenate([
+            jnp.pad(pk_g[no:],
+                    ((0, hcm.win_ngp - (pk_g.shape[0] - no)), (0, 0))),
+            pk_g[hcm.cut_ids],
+        ]), 0, 1)  # [F, ngp + ncut]
+        bw, mw = wtab[:, : d_g + d2g], wtab[:, d_g + d2g :]
+        bg, mg = gtab[: d_g + d2g], gtab[d_g + d2g :]
+        gslot = 1 - hcm.e
+        lp, jac, r0, srel = fused_relin_cm_tabblkg(
+            params, hcm.win_starts, mean_e, mw, mg, hcm.gidx_cm, hcm.z,
+            hcm.args, fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
+            d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+            n_args=hcm.n_args, gslot=gslot, win_w=w, n_own=no,
+            interpret=interp,
+        )
+        oe0, ol0, oe1, ol1 = fused_messages_cm_tabblkg(
+            params, hcm.win_starts, jac, lp, r0, hcm.prec, srel, hcm.act,
+            be_e, bl_e, bw, bg, hcm.gidx_cm,
+            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+            d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+            gslot=gslot, win_w=w, n_own=no, interpret=interp,
+        )
+    elif hcm.gather_mode == "table":
         from gbp_tpu.ops.messages_pallas import (
             fused_messages_cm_tab,
             fused_relin_cm_tab,
@@ -375,8 +513,24 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
     ])[:, : hcm.n_loc_e]
     packed_e = jnp.swapaxes(sum_e, 0, 1)
     # Gathered slot: one-hot MXU segment-sum straight off the CM messages.
-    sum_g = segsum_cm(me_g, ml_g, hcm.gidx_cm, n_seg=hcm.n_loc_g,
-                      exact=hcm.segsum_exact, interpret=interp)
+    if hcm.gather_mode == "table" and hcm.win_w:
+        # Windowed owned reduction + small full ghost reduction (the ghost
+        # id array carries an out-of-range sentinel for owned rows).
+        no = hcm.comm[hcm.vb_g].n_own_max
+        sum_own = segsum_cm_blk(me_g, ml_g, hcm.gidx_cm, hcm.win_starts,
+                                n_seg=no, w=hcm.win_w,
+                                exact=hcm.segsum_exact, interpret=interp)
+        sum_ext = segsum_cm(me_g, ml_g, hcm.gidx_ghost_cm,
+                            n_seg=hcm.win_ngp + hcm.win_ncut,
+                            exact=hcm.segsum_exact, interpret=interp)
+        # Cut-camera partials fold back onto their true owned slots.
+        sum_own = sum_own.at[:, hcm.cut_ids].add(
+            sum_ext[:, hcm.win_ngp:])
+        sum_g = jnp.concatenate(
+            [sum_own, sum_ext[:, : hcm.n_loc_g - no]], axis=1)
+    else:
+        sum_g = segsum_cm(me_g, ml_g, hcm.gidx_cm, n_seg=hcm.n_loc_g,
+                          exact=hcm.segsum_exact, interpret=interp)
     packed_g = jnp.swapaxes(sum_g, 0, 1)
 
     # Halo exchange + owner updates (shared with the generic path).
@@ -434,15 +588,34 @@ def make_run(mesh: Mesh, hcm: HaloCMGraph, state: HaloCMState,
     return run_halo_cm
 
 
+def _ell_order_keys(graph):
+    """Partition-time locality ordering for the ELL slot: key each ELL-slot
+    variable by its min adjacent gathered-slot GLOBAL id, so each chip's
+    per-chip ELL groups see nearby cameras and the per-chip windows become
+    narrow (free — per-chip slot numbering is not user-visible)."""
+    fb = graph.fblocks[0]
+    if len(fb.dofs) != 2:
+        return None
+    counts = [graph.vblocks[v].count for v in fb.vblocks]
+    e = 0 if counts[0] >= counts[1] else 1
+    if fb.vblocks[e] == fb.vblocks[1 - e]:
+        return None  # same-block pose graphs: natural order is local
+    key = np.full(counts[e], np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(key, np.asarray(fb.adj[e]), np.asarray(fb.adj[1 - e]))
+    return {fb.vblocks[e]: key}
+
+
 def distribute(graph, means, mesh: Mesh, anchor_slot: int = 0,
                comm_mode: str = "auto", segsum_exact: bool = True,
-               gather_mode: str = "auto"):
+               gather_mode: str = "auto", window: bool = True):
     """Partition + CM-prepare + place; returns (hp, hcm, state, run_fn) or
     None when the graph is CM-ineligible."""
     axis = mesh.axis_names[0]
-    hp = halo_mod.partition(graph, mesh.devices.size, anchor_slot, comm_mode)
+    hp = halo_mod.partition(graph, mesh.devices.size, anchor_slot, comm_mode,
+                            order_keys=_ell_order_keys(graph) if window
+                            else None)
     prepped = prepare(hp, segsum_exact=segsum_exact,
-                      gather_mode=gather_mode)
+                      gather_mode=gather_mode, window=window)
     if prepped is None:
         return None
     hcm, rows_global = prepped

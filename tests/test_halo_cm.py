@@ -115,3 +115,34 @@ def test_halo_cm_weaken_priors():
     got = halo.collect_means(hp, st)
     for vbi in range(2):
         np.testing.assert_allclose(got[vbi], want[vbi], rtol=1e-7, atol=1e-9)
+
+
+def test_halo_cm_windowed_matches_single_device():
+    """Per-chip camera windows under halo_cm (VERDICT r3 item 3): the
+    partition-time locality ordering (halo.partition order_keys) plus the
+    owned-window/ghost-table blocked kernels must reproduce the
+    single-device windowed CM run.  2 chips x 640 owned cams each so the
+    per-chip window gate engages."""
+    sim = ba.simulate_blocks(n_blocks=32, n_cams=40, lmks_per_cam=8,
+                             window=3, seed=0, shuffle=True)
+    graph, means = ba.build(sim, dtype=jnp.float64, layout="none",
+                            cam_prior_prec=1000.0, lmk_prior_prec=1000.0)
+    g_ell, m_ell = ba.build(sim, dtype=jnp.float64, layout="ell",
+                            cam_prior_prec=1000.0, lmk_prior_prec=1000.0)
+    cmg = sweep_cm.prepare(g_ell, segsum_exact=True, window=True)
+    assert cmg is not None and cmg.win_w > 0
+    ref = jax.jit(sweep_cm.run, static_argnums=3)(
+        cmg, sweep_cm.init_state(cmg, m_ell), CFG, 8)
+    ref_means = sweep_cm.to_gbp_state(cmg, ref)
+
+    mesh = sharding.make_mesh(2)
+    out = halo_cm.distribute(graph, means, mesh, window=True)
+    assert out is not None
+    hp, hcm, st, run_fn = out
+    assert hcm.win_w > 0, "per-chip window gate must engage at 640 cams/chip"
+    st = run_fn(hcm, st, CFG, 8)
+    got = halo.collect_means(hp, st)
+    for vbi in range(2):
+        np.testing.assert_allclose(
+            got[vbi], np.asarray(ref_means.v[vbi].mean),
+            rtol=1e-7, atol=1e-9)

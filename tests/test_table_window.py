@@ -1,14 +1,16 @@
-"""Camera-window table kernels (ops/messages_pallas.py `*_tabwin`,
-`segsum_cm_win`; core/sweep_cm.py window/locality-sort logic).
+"""Camera-window table kernels (ops/messages_pallas.py `*_tabblk`,
+`segsum_cm_blk`; core/sweep_cm.py window/locality-sort logic).
 
 On locality-rich graphs (corridor / city-scale BA — SURVEY.md §7
 "partition quality") the in-kernel one-hot table dots contract over a
 per-grid-tile camera WINDOW instead of the whole padded camera count,
 cutting the reconstruction/reduction MXU work by ~n_cams/win_w.  The
-locality sort reorders ELL groups (factor rows only — beliefs stay in
-variable order), which permutes the segsum accumulation order: results
-match the full-table path to summation-order rounding, not bitwise
-(the same class as the generic-vs-CM comparisons in test_sweep_cm.py).
+locality sort RELABELS the ELL variable block (round 4: resident beliefs
+live in sorted order across sweeps — per-sweep unpermutes ate the whole
+window win on chip; state converters restore user order), and permutes
+the segsum accumulation order: results match the full-table path to
+summation-order rounding, not bitwise (the same class as the
+generic-vs-CM comparisons in test_sweep_cm.py).
 """
 import jax
 import jax.numpy as jnp
@@ -35,7 +37,7 @@ def test_window_engages_via_locality_sort():
     cmg = sweep_cm.prepare(graph, window=True)
     assert cmg.gather_mode == "table"
     assert cmg.win_w > 0 and cmg.win_w * 2 <= cmg.win_ncpad
-    assert cmg.eperm is not None and cmg.rowperm is not None
+    assert cmg.vperm is not None and cmg.rowperm is not None
     # Coverage invariant: every gathered id inside its tile's window.
     from gbp_tpu.ops.messages_pallas import TILE
     gidx = np.asarray(cmg.gidx_rm).reshape(-1, TILE)
@@ -49,7 +51,7 @@ def test_window_off_for_small_or_nonlocal_graphs():
     sim = ba.simulate_corridor(n_cams=64, lmks_per_cam=20, window=3, seed=0)
     graph, _ = ba.build(sim, layout="ell", dtype=jnp.float64)
     cmg = sweep_cm.prepare(graph, window=True)
-    assert cmg.win_w == 0 and cmg.eperm is None
+    assert cmg.win_w == 0 and cmg.vperm is None
     # Arc scene at scale: every landmark sees most cameras — no locality
     # even after sorting.
     sim = ba.simulate(n_cams=260, n_lmks=600, seed=0)
@@ -70,12 +72,15 @@ def test_windowed_matches_full_table():
         cm_full, sweep_cm.init_state(cm_full, means), CFG, 15)
     b = jax.jit(sweep_cm.run, static_argnums=3)(
         cm_win, sweep_cm.init_state(cm_win, means), CFG, 15)
+    # The sorted run's resident beliefs live in sorted order: user-order
+    # views come from to_gbp_state (the state-conversion contract).
+    bg = sweep_cm.to_gbp_state(cm_win, b)
     for vi in range(2):
-        av, bv = np.asarray(a.v[vi].mean), np.asarray(b.v[vi].mean)
+        av, bv = np.asarray(a.v[vi].mean), np.asarray(bg.v[vi].mean)
         assert np.isfinite(bv).all()
         np.testing.assert_allclose(bv, av, atol=1e-4, rtol=0)
     are_a = float(ba.avg_reprojection_error(graph, a))
-    are_b = float(ba.avg_reprojection_error(graph, b))
+    are_b = float(ba.avg_reprojection_error(graph, bg))
     assert abs(are_a - are_b) < 1e-4, (are_a, are_b)
 
 
@@ -97,7 +102,7 @@ def test_windowed_presorted_no_perm():
     cm_full = sweep_cm.prepare(graph, window=False)
     cm_win = sweep_cm.prepare(graph, window=True)
     assert cm_win.win_w > 0
-    assert cm_win.eperm is None  # natural order already local
+    assert cm_win.vperm is None  # natural order already local
     a = jax.jit(sweep_cm.run, static_argnums=3)(
         cm_full, sweep_cm.init_state(cm_full, means), CFG, 6)
     b = jax.jit(sweep_cm.run, static_argnums=3)(
@@ -150,8 +155,9 @@ def test_windowed_annealed_run():
     states = {}
     for window in (False, True):
         cmg = sweep_cm.prepare(graph, window=window)
-        states[window] = anneal.run_annealed_cm(
+        out = anneal.run_annealed_cm(
             cmg, sweep_cm.init_state(cmg, means), CFG, 20, every=10, times=3)
+        states[window] = sweep_cm.to_gbp_state(cmg, out)
     for vi in range(2):
         np.testing.assert_allclose(
             np.asarray(states[True].v[vi].mean),

@@ -35,6 +35,22 @@ def test_cm_fori_equals_dispatched_bitwise():
         for la, lb in zip(jax.tree_util.tree_leaves(a),
                           jax.tree_util.tree_leaves(b)):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # The blocked camera-window kernel arrangement (round 4) gets its own
+    # fori-vs-dispatch bitwise leg: a window-eligible locality scene.
+    sim = _merged_blocks(k=2, n_cams=40, lmks_per_cam=20)
+    graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
+                            lmk_prior_prec=1000.0)
+    cmg = sweep_cm.prepare(graph, window=True, segsum_exact=True)
+    if cmg.win_w:  # windows may not pay at this size; skip quietly if so
+        st0 = sweep_cm.init_state(cmg, means)
+        a = jax.jit(sweep_cm.run, static_argnums=3)(cmg, st0, CFG, n)
+        sweepj = jax.jit(sweep_cm.sweep)
+        b = st0
+        for _ in range(n):
+            b = sweepj(cmg, b, CFG)
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
 def test_cm_table_matches_rows_on_chip():
@@ -139,28 +155,62 @@ def _merged_blocks(k=8, n_cams=40, lmks_per_cam=20, seed=0, shuffle=False):
 
 
 def test_cm_window_matches_full_table_on_chip():
-    """Camera-window table kernels ON CHIP (Mosaic lowering of the dynamic
-    table slices + folded window starts): windowed == full-table bitwise on
-    a presorted locality scene, and to rounding tolerance when the
-    locality SORT engages (the row permutation reorders the segsum
-    accumulation)."""
+    """Camera-window table kernels ON CHIP (round-4 blocked form).
+
+    Invariant structure (measured on chip, 8x40-cam merged blocks):
+    * the in-kernel window reconstruction is EXACT — after one sweep the
+      landmark block (whose messages consume the reconstructed camera
+      beliefs/means in both kernels) is bitwise equal to the full-table
+      run;
+    * the windowed segment-sum's raw output matches the full-table kernel
+      to summation-order rounding (per-tile partials + tree combine vs
+      sequential f32 accumulation; measured 4.6e-5 relative);
+    * trajectories: early-BA relinearization amplifies that rounding
+      (measured max|mean diff| 1.2e-2 at sweep 1 -> 0.14 by sweep 12 —
+      the usual knife-edge class, see docs/PERFORMANCE.md), so the
+      12-sweep check is on the CONVERGED QUALITY METRIC, not on chaotic
+      mid-convergence means."""
+    from gbp_tpu.ops import messages_pallas as mp
+
     sim = _merged_blocks()
     graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
                             lmk_prior_prec=1000.0)
-    outs = {}
+    outs, cmgs = {}, {}
     for window in (False, True):
         cmg = sweep_cm.prepare(graph, window=window, segsum_exact=True)
         if window:
-            assert cmg.win_w > 0 and cmg.eperm is None
+            assert cmg.win_w > 0 and cmg.vperm is None
+        cmgs[window] = cmg
         outs[window] = jax.jit(sweep_cm.run, static_argnums=3)(
             cmg, sweep_cm.init_state(cmg, means), CFG, 12)
-    # CPU interpret mode gives bitwise 0.0 here; on chip the windowed
-    # segsum's different dot orientation may round camera-lam sums at the
-    # f32 ulp level, so assert a tight tolerance rather than bit-equality.
-    for vi in range(2):
-        np.testing.assert_allclose(
-            np.asarray(outs[True].v[vi].mean),
-            np.asarray(outs[False].v[vi].mean), rtol=1e-4, atol=1e-4)
+
+    # (a) one-sweep landmark bitwise equality (reconstruction exactness).
+    one = {w: jax.jit(sweep_cm.sweep)(cmgs[w], sweep_cm.init_state(
+        cmgs[w], means), CFG) for w in (False, True)}
+    lmk = graph.fblocks[0].vblocks[graph.fblocks[0].ell_slot]
+    np.testing.assert_array_equal(np.asarray(one[True].v[lmk].mean),
+                                  np.asarray(one[False].v[lmk].mean))
+
+    # (b) raw windowed segsum vs full-table segsum on the same messages.
+    cmg = cmgs[True]
+    fb = cmg.fb
+    g = 1 - fb.ell_slot
+    st = one[True]
+    n_g = graph.vblocks[fb.vblocks[g]].count
+    a = np.asarray(mp.segsum_cm(st.f.msg_eta[g], st.f.msg_lam[g],
+                                cmg.gidx_cm, n_seg=n_g, exact=True))
+    b = np.asarray(mp.segsum_cm_blk(st.f.msg_eta[g], st.f.msg_lam[g],
+                                    cmg.gidx_cm, cmg.win_starts, n_seg=n_g,
+                                    w=cmg.win_w, exact=True))
+    rel = np.abs(a - b) / (np.abs(a) + 1e-12)
+    assert rel.max() < 1e-4, rel.max()
+
+    # (c) converged quality agreement after 12 sweeps.
+    ares = {w: float(ba.avg_reprojection_error(
+        graph, sweep_cm.to_gbp_state(cmgs[w], outs[w]), k=sim["k"]))
+        for w in (False, True)}
+    assert np.isfinite(ares[True]) and np.isfinite(ares[False])
+    assert abs(ares[True] - ares[False]) < 0.05 * ares[False], ares
 
     # Shuffled landmark numbering -> the locality SORT must engage.  The
     # row permutation reorders the f32 segsum accumulation and the early-BA
@@ -174,9 +224,11 @@ def test_cm_window_matches_full_table_on_chip():
     for window in (False, True):
         cmg = sweep_cm.prepare(graph, window=window, segsum_exact=True)
         if window:
-            assert cmg.win_w > 0 and cmg.eperm is not None
-        outs[window] = jax.jit(sweep_cm.run, static_argnums=3)(
+            assert cmg.win_w > 0 and cmg.vperm is not None
+        out = jax.jit(sweep_cm.run, static_argnums=3)(
             cmg, sweep_cm.init_state(cmg, means), CFG, 8)
+        # Sorted-run beliefs live in sorted order; compare in user order.
+        outs[window] = sweep_cm.to_gbp_state(cmg, out)
     for vi in range(2):
         np.testing.assert_allclose(
             np.asarray(outs[True].v[vi].mean),
