@@ -3,13 +3,18 @@
 North-star target [BASELINE.json]: >= 80% weak-scaling efficiency on
 sweeps/s from 1 chip to a multi-host slice.  This machine exposes ONE real
 TPU chip, so the harness runs on virtual CPU devices by default.  On shared
-silicon P "chips" run on the same cores, so ideal weak-scaling time is
-P x t_1, not t_1 — the harness therefore reports BOTH the raw efficiency
-(sps_P / sps_1, the number that matters on a real pod) and the
-shared-silicon-corrected efficiency (t_1 * P / t_P, the number that is
-meaningful on the CPU mesh: it isolates partitioning + collective overhead
-from the unavoidable P-fold compute on shared cores).  The same entry point
-runs unchanged on a pod slice, where the raw number is the one to read.
+silicon P "chips" run on the same cores, so ideal weak-scaling time is the
+SINGLE-PROCESS time on the same total problem, not t_1 — per-factor CPU
+cost falls as problems grow (cache/vectorization), so the old
+"t_1 * P / t_P" correction could exceed 1.0 and hide real collective
+overhead (VERDICT r3 item 7).  The harness therefore reports THREE columns:
+raw efficiency (sps_P / sps_1 — the number that matters on a real pod),
+the legacy shared-silicon correction (kept for comparability, flagged when
+> 1.0), and the size-normalized overhead efficiency t_single(same total
+problem, no partitioning) / t_P — cache effects cancel, so this isolates
+partition + collective overhead and is bounded by ~1.0 by construction.
+The same entry point runs unchanged on a pod slice, where the raw number
+is the one to read.
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
         python -m gbp_tpu.bench.scaling --chips 1 2 4 8 --path halo
@@ -30,6 +35,14 @@ def _build(scene, n_cams, n_lmks, lmks_per_cam, layout, dtype):
     if scene == "corridor":
         sim = ba.simulate_corridor(n_cams=n_cams, lmks_per_cam=lmks_per_cam,
                                    window=3, seed=0)
+        return ba.build(sim, layout=layout, dtype=dtype,
+                        cam_prior_prec=1000.0, lmk_prior_prec=1000.0)
+    if scene == "blocks":
+        # f32-stable city scene with shuffled ids: the camera-window +
+        # locality-sort regime (models/ba.simulate_blocks).
+        sim = ba.simulate_blocks(n_blocks=max(n_cams // 40, 1), n_cams=40,
+                                 lmks_per_cam=lmks_per_cam, window=3, seed=0,
+                                 shuffle=True)
         return ba.build(sim, layout=layout, dtype=dtype,
                         cam_prior_prec=1000.0, lmk_prior_prec=1000.0)
     sim = ba.simulate(n_cams=n_cams, n_lmks=n_lmks, seed=0)
@@ -61,6 +74,8 @@ def measure(n_chips, cams_per_chip, n_lmks, lmks_per_cam, sweeps, path, scene):
         hp, hcm, st, run_fn = out
         args = (hcm, st)
         comm = halo.collective_bytes(hp)
+        win_w = int(hcm.win_w)
+        run_skip = halo_cm.make_run(mesh, hcm, st, skip_exchange=True)
     elif path == "halo":
         graph, means = _build(scene, n_cams, n_lmks, lmks_per_cam, "none",
                               jnp.float32)
@@ -68,6 +83,8 @@ def measure(n_chips, cams_per_chip, n_lmks, lmks_per_cam, sweeps, path, scene):
         hp, st, run_fn = halo.distribute(graph, means, mesh)
         args = (hp.hgraph, st)
         comm = halo.collective_bytes(hp)
+        win_w = None
+        run_skip = halo.make_run(mesh, hp, st, skip_exchange=True)
     else:
         graph, means = _build(scene, n_cams, n_lmks, lmks_per_cam, "ell",
                               jnp.float32)
@@ -76,6 +93,8 @@ def measure(n_chips, cams_per_chip, n_lmks, lmks_per_cam, sweeps, path, scene):
         run_fn = spmd.make_run(mesh, g_sh, s_sh)
         args = (g_sh, s_sh)
         comm = None
+        win_w = None
+        run_skip = None
 
     out = run_fn(*args, cfg, sweeps)  # compile + warm
     jax.block_until_ready(out)
@@ -83,9 +102,55 @@ def measure(n_chips, cams_per_chip, n_lmks, lmks_per_cam, sweeps, path, scene):
     out = run_fn(*args, cfg, sweeps)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    dt_skip = None
+    if run_skip is not None:
+        # Identical program minus the collectives (wrong numerics, same
+        # local data movement): t_skip / t is the clean communication-
+        # overhead efficiency on ANY platform — per-op amortization, cache
+        # effects and interpret-mode distortions all cancel.
+        out = run_skip(*args, cfg, sweeps)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = run_skip(*args, cfg, sweeps)
+        jax.block_until_ready(out)
+        dt_skip = time.perf_counter() - t0
     m = graph.fblocks[0].count if graph.fblocks[0].n_valid is None \
         else graph.fblocks[0].n_valid
-    return sweeps / dt, dt, m, comm
+    return sweeps / dt, dt, m, comm, win_w, dt_skip
+
+
+def measure_single(n_cams_total, n_lmks, lmks_per_cam, sweeps, path, scene):
+    """Single-process (no partitioning) run on the SAME total problem: the
+    size-normalized denominator for shared-silicon meshes (cache effects at
+    this size cancel against the partitioned run's)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gbp_tpu.core import sweep_cm
+    from gbp_tpu.core.sweep import GBPConfig, init_state, run
+
+    if path == "halo_cm":
+        cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6,
+                        min_linear_iters=8, message_form="pallas")
+        graph, means = _build(scene, n_cams_total, n_lmks, lmks_per_cam,
+                              "ell", jnp.float32)
+        cmg = sweep_cm.prepare(graph, segsum_exact=True)
+        st = sweep_cm.init_state(cmg, means)
+        runj = jax.jit(sweep_cm.run, static_argnums=3)
+        jax.block_until_ready(runj(cmg, st, cfg, sweeps))
+        t0 = time.perf_counter()
+        jax.block_until_ready(runj(cmg, st, cfg, sweeps))
+        return time.perf_counter() - t0
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="covariance")
+    graph, means = _build(scene, n_cams_total, n_lmks, lmks_per_cam, "ell",
+                          jnp.float32)
+    runj = jax.jit(run, static_argnums=3)
+    st = init_state(graph, means)
+    jax.block_until_ready(runj(graph, st, cfg, sweeps))
+    t0 = time.perf_counter()
+    jax.block_until_ready(runj(graph, st, cfg, sweeps))
+    return time.perf_counter() - t0
 
 
 def main():
@@ -97,7 +162,8 @@ def main():
     p.add_argument("--sweeps", type=int, default=30)
     p.add_argument("--path", choices=("spmd", "halo", "halo_cm"),
                    default="halo")
-    p.add_argument("--scene", choices=("arc", "corridor"), default="corridor")
+    p.add_argument("--scene", choices=("arc", "corridor", "blocks"),
+                   default="corridor")
     p.add_argument("--out", default=None, help="write JSON artifact here")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu' for the virtual "
@@ -119,20 +185,50 @@ def main():
         if n > len(jax.devices()):
             print(f"skip {n} chips (have {len(jax.devices())})")
             continue
-        sps, dt, m, comm = measure(n, args.cams_per_chip, args.n_lmks,
-                                   args.lmks_per_cam, args.sweeps,
-                                   args.path, args.scene)
+        sps, dt, m, comm, win_w, dt_skip = measure(
+            n, args.cams_per_chip, args.n_lmks, args.lmks_per_cam,
+            args.sweeps, args.path, args.scene)
         if t1 is None:
             t1 = dt
         corrected = t1 * n / dt
         row = dict(chips=n, factors=m, sweeps_per_s=round(sps, 2),
                    raw_efficiency=round(t1 / dt, 3),
                    shared_silicon_efficiency=round(corrected, 3))
+        if dt_skip is not None:
+            row["collective_overhead_efficiency"] = round(dt_skip / dt, 3)
+        if shared:
+            # Size-normalized denominator: the same TOTAL problem in one
+            # process.  On the 1-core CPU mesh this can legitimately exceed
+            # 1.0 — partitioning genuinely shrinks each chip's table-dot
+            # width, and XLA per-op overheads amortize over the stacked
+            # chip dimension — so the clean column above
+            # (collective_overhead_efficiency) is the one to read; this one
+            # is kept for scale context.
+            t_single = measure_single(
+                n * args.cams_per_chip, args.n_lmks, args.lmks_per_cam,
+                args.sweeps, args.path, args.scene)
+            row["single_process_same_size_ratio"] = round(t_single / dt, 3)
+        if win_w is not None:
+            row["win_w"] = win_w
         if comm:
             row["collective_bytes_per_sweep"] = comm["halo_bytes_per_sweep"]
+        for key in ("shared_silicon_efficiency",
+                    "single_process_same_size_ratio"):
+            if row.get(key, 0.0) > 1.0:
+                row[f"{key}_note"] = (
+                    ">1.0 on the shared-silicon CPU mesh: partitioning "
+                    "shrinks per-chip table-dot width and XLA per-op "
+                    "overheads amortize over the stacked chip dim - read "
+                    "collective_overhead_efficiency instead")
+                print(f"NOTE: {key} = {row[key]} > 1.0 at {n} chips - see "
+                      "artifact note; read collective_overhead_efficiency")
         results.append(row)
         print(f"{n} chips: {m} factors, {sps:.2f} sweeps/s, "
               f"raw eff {t1/dt:.2f}, shared-silicon eff {corrected:.2f}"
+              + (f", collective-overhead eff "
+                 f"{row['collective_overhead_efficiency']:.2f}"
+                 if "collective_overhead_efficiency" in row else "")
+              + (f", win_w {win_w}" if win_w else "")
               + (f", comm {comm['halo_bytes_per_sweep']}B/sweep" if comm else ""))
     doc = {"metric": "weak_scaling", "path": args.path, "scene": args.scene,
            "platform": platform, "shared_silicon": shared,

@@ -57,6 +57,7 @@ from gbp_tpu.ops.messages_pallas import (
     LANE,
     SUB,
     TILE,
+    expand_ell_blk,
     fused_messages_cm,
     fused_relin_cm,
     segsum_cm,
@@ -135,6 +136,15 @@ class CMGraph(flax.struct.PyTreeNode):
     vperm: jnp.ndarray | None = None  # [n_e] int32 sorted id -> user id
     vinv: jnp.ndarray | None = None  # [n_e] int32 user id -> sorted id
     rowperm: jnp.ndarray | None = None  # [m] int32
+    # Kernel ELL expansion (round 4): when LANE % deg != 0 the XLA
+    # broadcast-reshape [F, nv] -> [F, mp] is a lane-misaligned relayout
+    # measured at ~half the city-scene sweep (docs/PERFORMANCE.md); the
+    # `expand_ell_blk` kernel reconstructs the rows from per-tile blocked
+    # table slices instead (bitwise-equal one-hot selection).
+    ell_starts: jnp.ndarray | None = None  # [n_tiles] int32 group starts
+    ell_row0s: jnp.ndarray | None = None  # [n_tiles] int32 = i * TILE
+    ell_w2: int = flax.struct.field(pytree_node=False, default=0)
+    ell_nvp: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def fb(self):
@@ -259,6 +269,23 @@ def prepare(graph: Graph, gather_mode: str = "auto",
             win_starts = jnp.asarray(starts, jnp.int32)
             win_w, win_ncpad = int(w), int(ncpad)
 
+    # Kernel ELL expansion gate: lane-misaligned degrees only (aligned
+    # degrees broadcast at full speed in XLA; the kernel adds nothing).
+    ell_starts = ell_row0s = None
+    ell_w2 = ell_nvp = 0
+    if gather_mode == "table" and deg > 0 and LANE % deg != 0:
+        n_tiles = mp // TILE
+        w2 = ((TILE // deg + 2) + SUB + LANE - 1) // LANE * LANE
+        nvp = max(((nv + SUB - 1) // SUB) * SUB, w2)
+        st2 = (np.arange(n_tiles) * TILE // deg) // SUB * SUB
+        st2 = np.clip(st2, 0, nvp - w2)
+        grp = np.arange(mp) // deg
+        tl = grp.reshape(-1, TILE)
+        assert (tl.min(1) >= st2).all() and (tl.max(1) < st2 + w2).all()
+        ell_starts = jnp.asarray(st2, jnp.int32)
+        ell_row0s = jnp.asarray(np.arange(n_tiles) * TILE, jnp.int32)
+        ell_w2, ell_nvp = int(w2), int(nvp)
+
     rp_np = None if rowperm is None else np.asarray(rowperm)
     perm = lambda a: a if rp_np is None else jnp.asarray(a)[rp_np]
     # Edge-pad the gathered-slot ids: padded rows carry zero messages so any
@@ -297,6 +324,10 @@ def prepare(graph: Graph, gather_mode: str = "auto",
         vperm=vperm,
         vinv=vinv,
         rowperm=rowperm,
+        ell_starts=ell_starts,
+        ell_row0s=ell_row0s,
+        ell_w2=ell_w2,
+        ell_nvp=ell_nvp,
     )
 
 
@@ -362,10 +393,26 @@ def _expand_ell(cmg: CMGraph, vs: VariableState):
             [pk, jnp.tile(pad_row[None, :], (cmg.nv - n, 1))], axis=0
         )
     f = pk.shape[1]
+    d2 = d * d
+    if cmg.ell_w2:
+        # Kernel expansion (see CMGraph.ell_starts): per-tile blocked
+        # slices of the transposed table + in-kernel one-hot selection —
+        # bitwise-equal to the broadcast, ~20x cheaper at misaligned deg.
+        pkT = jnp.swapaxes(
+            jnp.pad(pk, ((0, cmg.ell_nvp - pk.shape[0]), (0, 0))), 0, 1)
+        w2 = cmg.ell_w2
+
+        def slice_one(s):
+            return jax.lax.dynamic_slice(
+                pkT, (jnp.zeros((), s.dtype), s), (pkT.shape[0], w2))
+
+        ltab = jax.vmap(slice_one)(cmg.ell_starts)
+        cm = expand_ell_blk(ltab, cmg.ell_starts, cmg.ell_row0s, deg=deg,
+                            w2=w2, interpret=_interpret())
+        return cm[:d], cm[d : d + d2], cm[d + d2 :]
     cm = jnp.broadcast_to(
         jnp.swapaxes(pk, 0, 1)[:, :, None], (f, cmg.nv, deg)
     ).reshape(f, cmg.mp // LANE, LANE)
-    d2 = d * d
     return cm[:d], cm[d : d + d2], cm[d + d2 :]
 
 

@@ -606,7 +606,8 @@ def _local_graph(hg: HaloGraph) -> Graph:
 
 
 def _sweep_halo(hg: HaloGraph, state: HaloState, cfg: GBPConfig,
-                axis: str, active: tuple | None = None) -> HaloState:
+                axis: str, active: tuple | None = None,
+                skip_exchange: bool = False) -> HaloState:
     """One synchronous sweep on a chip's shard (runs inside shard_map).
 
     active: optional per-fblock [m_loc] bool mask (chip-local rows) for the
@@ -655,24 +656,31 @@ def _sweep_halo(hg: HaloGraph, state: HaloState, cfg: GBPConfig,
                 packed = packed + jax.ops.segment_sum(
                     sweep_mod._pack_msgs(new_f[fi], k), fb.adj[k],
                     num_segments=n_loc)
-        ov, gv = exchange_and_update(vb, c, packed, state.ghost[vbi], axis)
+        ov, gv = exchange_and_update(vb, c, packed, state.ghost[vbi], axis,
+                                     skip=skip_exchange)
         new_v.append(ov)
         new_ghost.append(gv)
     return HaloState(v=tuple(new_v), ghost=tuple(new_ghost), f=tuple(new_f))
 
 
 def exchange_and_update(vb, c: HaloComm, packed: jnp.ndarray, ghost_prev,
-                        axis: str):
+                        axis: str, skip: bool = False):
     """The halo exchange + owner belief update for one variable block.
 
     packed: [n_own_max + max(ng, 1), d + d^2] local partial message sums
     (rows beyond n_own_max are the ghost partials).  Runs inside shard_map.
-    Returns (owned VariableState, ghost VariableState)."""
+    Returns (owned VariableState, ghost VariableState).
+
+    skip=True (static) drops BOTH collectives — owners update from local
+    partials only and ghosts go stale.  Wrong numerics, identical local
+    data movement: the bench baseline that isolates pure communication
+    overhead on ANY platform (gbp_tpu/bench/scaling.py
+    collective_overhead_efficiency)."""
     d = vb.prior_eta.shape[-1]
     no, ng = c.n_own_max, c.n_ghost_max
     own_part = packed[:no]
     n_dev = jax.lax.axis_size(axis)
-    if ng > 0:
+    if ng > 0 and not skip:
         # ghost partials -> owners (O(boundary) collective #1)
         gbuf = packed[no : no + ng]
         if c.mode == "permute":
@@ -696,7 +704,7 @@ def exchange_and_update(vb, c: HaloComm, packed: jnp.ndarray, ghost_prev,
     lam = vb.prior_lam + own_part[:, d:].reshape(no, d, d)
     mean = scaled_sym_solve(lam, eta)
     owned = VariableState(eta=eta, lam=lam, mean=mean)
-    if ng == 0:
+    if ng == 0 or skip:
         return owned, ghost_prev
     # boundary beliefs -> ghost holders (O(boundary) collective #2)
     pk = jnp.concatenate([eta, lam.reshape(no, -1), mean], axis=1)
@@ -732,8 +740,13 @@ def _specs(hp: HaloProblem, state: HaloState, axis: str):
     return shard_leading(hp.hgraph, axis), shard_leading(state, axis)
 
 
-def make_run(mesh: Mesh, hp: HaloProblem, state: HaloState, axis: str = "graph"):
-    """Compile run(hgraph, state, cfg, n_iters) over the mesh."""
+def make_run(mesh: Mesh, hp: HaloProblem, state: HaloState,
+             axis: str = "graph", skip_exchange: bool = False):
+    """Compile run(hgraph, state, cfg, n_iters) over the mesh.
+
+    skip_exchange=True drops the collectives each sweep (wrong numerics,
+    identical local data movement) — the no-communication baseline of
+    gbp_tpu/bench/scaling.py's collective_overhead_efficiency."""
     gspec, sspec = _specs(hp, state, axis)
 
     @functools.partial(jax.jit, static_argnums=3)
@@ -749,7 +762,8 @@ def make_run(mesh: Mesh, hp: HaloProblem, state: HaloState, axis: str = "graph")
             hg, st = _unstack(hgraph), _unstack(state)
 
             def one(_, s):
-                return _sweep_halo(hg, s, cfg, axis)
+                return _sweep_halo(hg, s, cfg, axis,
+                                   skip_exchange=skip_exchange)
 
             return _restack(jax.lax.fori_loop(0, n_iters, one, st))
 

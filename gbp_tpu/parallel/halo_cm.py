@@ -378,8 +378,8 @@ def expand_means(hcm: HaloCMGraph, state: HaloCMState) -> jnp.ndarray:
 
 
 def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
-                   axis: str, active: jnp.ndarray | None = None
-                   ) -> HaloCMState:
+                   axis: str, active: jnp.ndarray | None = None,
+                   skip_exchange: bool = False) -> HaloCMState:
     """One synchronous sweep on a chip's shard (inside shard_map).
 
     active: optional chip-local CM-layout [1, T, LANE] (or row-major [mp])
@@ -541,16 +541,17 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
         # the one local universe — combine BEFORE the single exchange.
         ov, gv = halo_mod.exchange_and_update(
             hcm.vblocks[hcm.vb_e], hcm.comm[hcm.vb_e],
-            packed_e + packed_g, state.ghost[hcm.vb_e], axis)
+            packed_e + packed_g, state.ghost[hcm.vb_e], axis,
+            skip=skip_exchange)
         new_v[hcm.vb_e], new_ghost[hcm.vb_e] = ov, gv
         return HaloCMState(v=tuple(new_v), ghost=tuple(new_ghost), f=fs)
     ov, gv = halo_mod.exchange_and_update(
         hcm.vblocks[hcm.vb_e], hcm.comm[hcm.vb_e], packed_e,
-        state.ghost[hcm.vb_e], axis)
+        state.ghost[hcm.vb_e], axis, skip=skip_exchange)
     new_v[hcm.vb_e], new_ghost[hcm.vb_e] = ov, gv
     ov, gv = halo_mod.exchange_and_update(
         hcm.vblocks[hcm.vb_g], hcm.comm[hcm.vb_g], packed_g,
-        state.ghost[hcm.vb_g], axis)
+        state.ghost[hcm.vb_g], axis, skip=skip_exchange)
     new_v[hcm.vb_g], new_ghost[hcm.vb_g] = ov, gv
     return HaloCMState(v=tuple(new_v), ghost=tuple(new_ghost), f=fs)
 
@@ -561,7 +562,7 @@ def _specs(hcm, state, axis):
 
 
 def make_run(mesh: Mesh, hcm: HaloCMGraph, state: HaloCMState,
-             axis: str = "graph"):
+             axis: str = "graph", skip_exchange: bool = False):
     gspec, sspec = _specs(hcm, state, axis)
 
     @functools.partial(jax.jit, static_argnums=3)
@@ -578,7 +579,8 @@ def make_run(mesh: Mesh, hcm: HaloCMGraph, state: HaloCMState,
             st = jax.tree_util.tree_map(lambda a: a[0], state)
 
             def one(_, s):
-                return _sweep_cm_halo(hg, s, cfg, axis)
+                return _sweep_cm_halo(hg, s, cfg, axis,
+                                      skip_exchange=skip_exchange)
 
             out = jax.lax.fori_loop(0, n_iters, one, st)
             return jax.tree_util.tree_map(lambda a: a[None], out)
