@@ -114,6 +114,16 @@ class CMGraph(flax.struct.PyTreeNode):
     win_starts: jnp.ndarray | None = None  # [n_tiles] int32, multiples of 8
     win_w: int = flax.struct.field(pytree_node=False, default=0)
     win_ncpad: int = flax.struct.field(pytree_node=False, default=0)
+    # Host-static copies of the per-tile starts (hashable tuples): the
+    # window/ELL table stacks are built by STATIC lax.slice + stack — one
+    # fused XLA copy at bandwidth — instead of a vmapped dynamic_slice,
+    # whose gather lowering measured ~1 ms/sweep at 1280 cams (a third of
+    # the whole windowed sweep).  The jnp twins above still feed the
+    # kernels' SMEM params row.
+    win_starts_t: tuple | None = flax.struct.field(
+        pytree_node=False, default=None)
+    ell_starts_t: tuple | None = flax.struct.field(
+        pytree_node=False, default=None)
     # Locality sort: graphs whose ELL-group order does not correlate with
     # the gathered slot (random landmark numbering — real BAL files, the
     # corridor sim) get their ELL GROUPS sorted by min gathered id at
@@ -145,6 +155,13 @@ class CMGraph(flax.struct.PyTreeNode):
     ell_row0s: jnp.ndarray | None = None  # [n_tiles] int32 = i * TILE
     ell_w2: int = flax.struct.field(pytree_node=False, default=0)
     ell_nvp: int = flax.struct.field(pytree_node=False, default=0)
+    # In-kernel ELL fusion (round 4, second form): the relin/messages table
+    # kernels reconstruct the ELL slot's beliefs themselves from per-tile
+    # blocked slices (ops/messages_pallas._ell_rows_blk), so the expanded
+    # [F, mp] ELL operands never exist in HBM at all — the standalone
+    # expansion (XLA broadcast OR expand_ell_blk) disappears from the sweep.
+    # Bitwise-equal math; requires 'table' mode and deg >= 2.
+    ell_fused: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def fb(self):
@@ -166,14 +183,19 @@ def _cm2rm(a: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 def prepare(graph: Graph, gather_mode: str = "auto",
-            segsum_exact: bool = False, window: bool = True) -> CMGraph | None:
+            segsum_exact: bool = False, window: bool = True,
+            ell_fused: bool | None = None) -> CMGraph | None:
     """Build the CM static data for `graph`, or None if ineligible.
 
     gather_mode "auto" picks 'table' (in-kernel VMEM belief table, the fast
     path — measured ~1.8x over 'rows' at 470k factors) when the packed
     gathered-slot table fits VMEM, else 'rows'.  window=True additionally
     enables the per-tile camera-window table kernels when the graph has
-    camera locality (bitwise-equal; see CMGraph.win_w)."""
+    camera locality (bitwise-equal; see CMGraph.win_w).  ell_fused None
+    ("auto") fuses the ELL-slot belief expansion into the table kernels
+    whenever eligible (see CMGraph.ell_fused; bitwise-equal, measured
+    faster at every deg on chip); pass False to keep the standalone
+    expansion (A/B benchmarking, the pre-fusion artifact path)."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
 
     if len(graph.fblocks) != 1:
@@ -235,6 +257,7 @@ def prepare(graph: Graph, gather_mode: str = "auto",
 
     edge_pad = lambda a: np.pad(a, (0, pad), mode="edge") if pad else a
     win_starts, win_w, win_ncpad = None, 0, 0
+    win_starts_t = ell_starts_t = None
     vperm = vinv = rowperm = None
     if window and gather_mode == "table":
         win = _windows(edge_pad(gidx_np))
@@ -267,13 +290,17 @@ def prepare(graph: Graph, gather_mode: str = "auto",
         if win is not None:
             starts, w, ncpad = win
             win_starts = jnp.asarray(starts, jnp.int32)
+            win_starts_t = tuple(int(s) for s in starts)
             win_w, win_ncpad = int(w), int(ncpad)
 
-    # Kernel ELL expansion gate: lane-misaligned degrees only (aligned
-    # degrees broadcast at full speed in XLA; the kernel adds nothing).
+    # ELL group windows: used by the standalone expansion kernel at
+    # lane-misaligned degrees (`_expand_ell`) and by the in-kernel fusion at
+    # every deg >= 2 (`ell_fused` below).  deg == 1 is excluded from fusion:
+    # the expansion is then an identity reshape that XLA does for free,
+    # while the one-hot window would be TILE+ columns wide.
     ell_starts = ell_row0s = None
     ell_w2 = ell_nvp = 0
-    if gather_mode == "table" and deg > 0 and LANE % deg != 0:
+    if gather_mode == "table" and deg > 1:
         n_tiles = mp // TILE
         w2 = ((TILE // deg + 2) + SUB + LANE - 1) // LANE * LANE
         nvp = max(((nv + SUB - 1) // SUB) * SUB, w2)
@@ -283,8 +310,13 @@ def prepare(graph: Graph, gather_mode: str = "auto",
         tl = grp.reshape(-1, TILE)
         assert (tl.min(1) >= st2).all() and (tl.max(1) < st2 + w2).all()
         ell_starts = jnp.asarray(st2, jnp.int32)
+        ell_starts_t = tuple(int(s) for s in st2)
         ell_row0s = jnp.asarray(np.arange(n_tiles) * TILE, jnp.int32)
         ell_w2, ell_nvp = int(w2), int(nvp)
+
+    if ell_fused is None:
+        ell_fused = True
+    ell_fused = bool(ell_fused) and gather_mode == "table" and ell_w2 > 0
 
     rp_np = None if rowperm is None else np.asarray(rowperm)
     perm = lambda a: a if rp_np is None else jnp.asarray(a)[rp_np]
@@ -321,6 +353,8 @@ def prepare(graph: Graph, gather_mode: str = "auto",
         win_starts=win_starts,
         win_w=win_w,
         win_ncpad=win_ncpad,
+        win_starts_t=win_starts_t,
+        ell_starts_t=ell_starts_t,
         vperm=vperm,
         vinv=vinv,
         rowperm=rowperm,
@@ -328,6 +362,7 @@ def prepare(graph: Graph, gather_mode: str = "auto",
         ell_row0s=ell_row0s,
         ell_w2=ell_w2,
         ell_nvp=ell_nvp,
+        ell_fused=ell_fused,
     )
 
 
@@ -394,10 +429,13 @@ def _expand_ell(cmg: CMGraph, vs: VariableState):
         )
     f = pk.shape[1]
     d2 = d * d
-    if cmg.ell_w2:
+    if cmg.ell_w2 and LANE % deg != 0:
         # Kernel expansion (see CMGraph.ell_starts): per-tile blocked
         # slices of the transposed table + in-kernel one-hot selection —
         # bitwise-equal to the broadcast, ~20x cheaper at misaligned deg.
+        # (Aligned degrees broadcast at full speed in XLA, so the standalone
+        # kernel buys nothing there; the IN-KERNEL fusion path — ell_fused —
+        # never calls _expand_ell at all.)
         pkT = jnp.swapaxes(
             jnp.pad(pk, ((0, cmg.ell_nvp - pk.shape[0]), (0, 0))), 0, 1)
         w2 = cmg.ell_w2
@@ -455,24 +493,62 @@ def _expand_gather(cmg: CMGraph, vs: VariableState):
     return cm[:d], cm[d : d + d2], cm[d + d2 :]
 
 
-def window_tables(cmg: CMGraph, pk: jnp.ndarray):
-    """Per-grid-tile camera-window slices of the packed gathered-slot table.
+def ell_tables(cmg: CMGraph, vs_e: VariableState):
+    """Per-grid-tile ELL group-window slices of the packed ELL-slot belief
+    table — the ELL analogue of `window_tables`, feeding the in-kernel ELL
+    fusion (CMGraph.ell_fused).  Returns (lbtab [n_tiles, d + d^2, ell_w2]
+    belief rows for the message kernel, lmtab [n_tiles, d, ell_w2] mean rows
+    for the relin kernel).  Virtual padding variables get the same
+    (eta=0, lam=I, mean=0) rows as `_expand_ell` so padded factor rows'
+    cavity inverses stay finite."""
+    pk = _pack_beliefs(vs_e)
+    n, d = vs_e.eta.shape
+    if cmg.nv > n:
+        from gbp_tpu.gaussians import packed_identity_row
 
-    pk [n_g, 2d + d^2 (+mean)]; returns (bwtab [n_tiles, d + d^2, win_w] —
-    the belief rows for the message kernel, mwtab [n_tiles, d, win_w] — the
-    mean rows for the relin kernel).  One transposed pad + a vmapped
-    dynamic_slice per tile: ~n_tiles * F * win_w * 4 bytes, trivially cheap
-    next to the per-factor kernel streams."""
-    f_all = pk.shape[1]
-    tabT = jnp.swapaxes(
-        jnp.pad(pk, ((0, cmg.win_ncpad - pk.shape[0]), (0, 0))), 0, 1)
-    w = cmg.win_w
+        pad_row = packed_identity_row(d, pk.dtype)
+        pk = jnp.concatenate(
+            [pk, jnp.tile(pad_row[None, :], (cmg.nv - n, 1))], axis=0)
+    pkT = jnp.swapaxes(
+        jnp.pad(pk, ((0, cmg.ell_nvp - pk.shape[0]), (0, 0))), 0, 1)
+    ltab = _start_slices(pkT, cmg.ell_starts, cmg.ell_starts_t, cmg.ell_w2)
+    d2 = d * d
+    return ltab[:, : d + d2], ltab[:, d + d2 :]
+
+
+def _start_slices(tabT, starts, starts_t, w):
+    """[n_tiles, F, w] per-tile slices tabT[:, s : s + w] for s in starts.
+
+    Host-static starts (`starts_t`, the usual case) lower to a stack of
+    STATIC lax.slice ops — one fused XLA copy at HBM bandwidth.  The
+    dynamic fallback (vmapped dynamic_slice) lowers to a gather, measured
+    ~1 ms/sweep at 1280 cams — a third of the whole windowed sweep —
+    which single-handedly ate the camera windows' saving (VERDICT r3
+    weak #3; the halo path still uses it because its per-chip starts are
+    sharded data, not statics)."""
+    if starts_t is not None:
+        return jnp.stack([
+            jax.lax.slice(tabT, (0, s), (tabT.shape[0], s + w))
+            for s in starts_t])
 
     def slice_one(s):
         return jax.lax.dynamic_slice(
             tabT, (jnp.zeros((), s.dtype), s), (tabT.shape[0], w))
 
-    wtab = jax.vmap(slice_one)(cmg.win_starts)  # [n_tiles, F, w]
+    return jax.vmap(slice_one)(starts)
+
+
+def window_tables(cmg: CMGraph, pk: jnp.ndarray):
+    """Per-grid-tile camera-window slices of the packed gathered-slot table.
+
+    pk [n_g, 2d + d^2 (+mean)]; returns (bwtab [n_tiles, d + d^2, win_w] —
+    the belief rows for the message kernel, mwtab [n_tiles, d, win_w] — the
+    mean rows for the relin kernel).  One transposed pad + static per-tile
+    slices (`_start_slices`)."""
+    f_all = pk.shape[1]
+    tabT = jnp.swapaxes(
+        jnp.pad(pk, ((0, cmg.win_ncpad - pk.shape[0]), (0, 0))), 0, 1)
+    wtab = _start_slices(tabT, cmg.win_starts, cmg.win_starts_t, cmg.win_w)
     # Packed layout is eta | lam | mean: f_all = 2d + d^2 -> d from f_all.
     dg = next(dd for dd in range(1, 16) if 2 * dd + dd * dd == f_all)
     return wtab[:, : dg + dg * dg], wtab[:, dg + dg * dg :]
@@ -505,13 +581,67 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
 
     vs_e = state.v[fb.vblocks[e]]
     vs_g = state.v[fb.vblocks[g]]
-    be_e, bl_e, mean_e = _expand_ell(cmg, vs_e)
     fs = state.f
     n_args = COMP_FACTORS[fb.ftype.name][1]
     # 'row' = per-factor thresholds in the trailing prec component
     # (prepare() appended them when fb.huber_arr is set).
     huber = "row" if fb.huber_arr is not None else fb.huber
-    if cmg.gather_mode == "table":
+    if cmg.gather_mode == "table" and cmg.ell_fused:
+        # Fully-fused fast path: BOTH slots' beliefs are reconstructed
+        # inside the kernels (ELL slot from per-tile group-window slices,
+        # gathered slot from the VMEM table / camera-window slices) — no
+        # expanded belief operands in HBM at all.  Bitwise-equal to the
+        # unfused paths below.
+        from gbp_tpu.ops.messages_pallas import (
+            fused_messages_cm_tab_ell,
+            fused_messages_cm_tabblk_ell,
+            fused_relin_cm_tab_ell,
+            fused_relin_cm_tabblk_ell,
+        )
+
+        deg = fb.ell_deg
+        d_g = fb.dofs[g]
+        pk = _pack_beliefs(vs_g)
+        lbtab, lmtab = ell_tables(cmg, vs_e)
+        if cmg.win_w:
+            bwtab, mwtab = window_tables(cmg, pk)
+            lp, jac, r0, srel = fused_relin_cm_tabblk_ell(
+                params, cmg.ell_starts, cmg.win_starts, lmtab, mwtab,
+                cmg.gidx_cm, cmg.z, cmg.args, fs.lp, fs.jac, fs.r0, fs.srel,
+                cmg.act, d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                n_args=n_args, gslot=g, win_w=cmg.win_w, deg=deg,
+                ell_w2=cmg.ell_w2, interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tabblk_ell(
+                params, cmg.ell_starts, cmg.win_starts, jac, lp, r0,
+                cmg.prec, srel, cmg.act, lbtab, bwtab, cmg.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
+                gslot=g, win_w=cmg.win_w, deg=deg, ell_w2=cmg.ell_w2,
+                interpret=interp,
+            )
+        else:
+            ncp = ((pk.shape[0] + LANE - 1) // LANE) * LANE
+            tab = jnp.swapaxes(
+                jnp.pad(pk, ((0, ncp - pk.shape[0]), (0, 0))), 0, 1)
+            btab = tab[: d_g + d_g * d_g]
+            mtab = tab[d_g + d_g * d_g :]
+            lp, jac, r0, srel = fused_relin_cm_tab_ell(
+                params, cmg.ell_starts, lmtab, mtab, cmg.gidx_cm, cmg.z,
+                cmg.args, fs.lp, fs.jac, fs.r0, fs.srel, cmg.act,
+                d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                n_args=n_args, gslot=g, deg=deg, ell_w2=cmg.ell_w2,
+                interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tab_ell(
+                params, cmg.ell_starts, jac, lp, r0, cmg.prec, srel,
+                cmg.act, lbtab, btab, cmg.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
+                gslot=g, deg=deg, ell_w2=cmg.ell_w2, interpret=interp,
+            )
+    elif cmg.gather_mode == "table":
+        be_e, bl_e, mean_e = _expand_ell(cmg, vs_e)
         # Gathered-slot beliefs never touch HBM in expanded form: the packed
         # table goes to kernel VMEM, rows are one-hot-MXU-reconstructed.
         from gbp_tpu.ops.messages_pallas import (
@@ -568,6 +698,7 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
                 gslot=g, interpret=interp,
             )
     else:
+        be_e, bl_e, mean_e = _expand_ell(cmg, vs_e)
         be_g, bl_g, mean_g = _expand_gather(cmg, vs_g)
         by_slot = lambda a_e, a_g: (a_e, a_g) if e == 0 else (a_g, a_e)
         be0, be1 = by_slot(be_e, be_g)

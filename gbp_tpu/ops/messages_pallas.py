@@ -526,6 +526,17 @@ def fused_relin_cm_tab(params, x_other, mtab, gidx, z_meas, fargs, linpoint,
       *cm_args2)
 
 
+def _params_col(params_ref, block_from_end):
+    """Per-grid-step value from a trailing [n_tiles] block of the params SMEM
+    row: block 1 is the LAST n_tiles columns, block 2 the one before it.
+    Extra per-tile scalars (window starts, ELL group starts) ride in the one
+    SMEM row rather than as their own operands to keep the kernels at the
+    proven operand arrangements (see `_win_start`)."""
+    col = (params_ref.shape[1] - block_from_end * pl.num_programs(0)
+           + pl.program_id(0))
+    return params_ref[0, col].astype(jnp.int32)
+
+
 def _win_start(params_ref):
     """Per-grid-step window start, folded into the trailing columns of the
     params SMEM row (params_ref[0, -n_tiles + g]).
@@ -813,6 +824,339 @@ def fused_relin_cm_tabblk(params, starts, x_other, wtab, gidx, z_meas, fargs,
         kernel, grid=grid, out_shape=out_shape,
         in_specs=in_specs, out_specs=out_specs, interpret=interpret,
     )(params_ext, x_other, wtab.astype(dt), gidx, *cm_args2)
+
+
+def _ell_rows_blk(ltab_ref, g0, row0, *, deg, w2, f):
+    """In-kernel ELL-slot belief reconstruction from this grid tile's blocked
+    slice of the transposed packed ELL table: out[k][s, l] = ltab[k, g - g0]
+    with g = (row0 + s*LANE + l) // deg the row's ELL group.
+
+    This is `_kernel_expand_blk`'s math inlined where the expanded operands
+    used to be READ, so the [F, mp]-sized expanded ELL beliefs never exist in
+    HBM at all (VERDICT r3 'city-scene base cost' front): the standalone
+    expansion kernel measured 1.84 ms/sweep at 1280 cams / 451k rows — an
+    HBM round-trip plus MXU passes quantized to the 128-row granule for a
+    15-row table — and its consumers re-read the 27 MB it wrote.  Fused, the
+    same one-hot dots land next to the factor math (bitwise-equal: the
+    one-hot selects exactly one table row; `_split_f32` keeps f32 exact)."""
+    tab = ltab_ref[0] if f == ltab_ref.shape[1] else ltab_ref[0, :f]
+    parts, prec = _split_f32(tab)
+    dn = (((1,), (0,)), ((), ()))
+    cols = []
+    for s in range(SUB):
+        grp = (row0 + s * LANE
+               + jax.lax.broadcasted_iota(jnp.int32, (w2, LANE), 1)) // deg
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (w2, LANE), 0) + g0) == grp
+        ohf = oh.astype(tab.dtype)
+        acc = None
+        for part in parts:
+            d = jax.lax.dot_general(part, ohf, dn,
+                                    preferred_element_type=tab.dtype,
+                                    precision=prec)
+            acc = d if acc is None else acc + d
+        cols.append(acc)  # [f, LANE]
+    stacked = jnp.stack(cols, axis=1)  # [f, SUB, LANE]
+    return [stacked[k] for k in range(f)]
+
+
+def _kernel_tab_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref,
+                    act_ref, ltab_ref, tab_ref, idx_ref,
+                    me0_ref, ml0_ref, me1_ref, ml1_ref,
+                    oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                    *, d0, d1, z, prec_full, huber, gslot, deg, ell_w2):
+    """_kernel_tab with BOTH slots reconstructed in-kernel: the gathered slot
+    from the whole-grid VMEM table (as before) and the ELL slot from this
+    tile's blocked slice `ltab` (see `_ell_rows_blk`) — no expanded belief
+    operands in HBM for either slot."""
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    dg = d1 if gslot == 1 else d0
+    de = t - dg
+    rows_g = _table_rows(tab_ref, idx_ref, dg + dg * dg)
+    g0 = _params_col(params_ref, 1)
+    row0 = pl.program_id(0) * TILE
+    rows_e = _ell_rows_blk(ltab_ref, g0, row0, deg=deg, w2=ell_w2,
+                           f=de + de * de)
+    be_g, bl_g = rows_g[:dg], rows_g[dg:]
+    be_e, bl_e = rows_e[:de], rows_e[de:]
+    if gslot == 1:
+        be0, bl0, be1, bl1 = be_e, bl_e, be_g, bl_g
+    else:
+        be0, bl0, be1, bl1 = be_g, bl_g, be_e, bl_e
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0, bl0, be1, bl1,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
+def _kernel_relin_tab_ell(params_ref, lmtab_ref, mtab_ref, idx_ref, z_ref,
+                          fargs_ref, lp_ref, jac_ref, r0_ref, srel_ref,
+                          act_ref, olp_ref, ojac_ref, or0_ref, osrel_ref,
+                          *, d0, d1, z, comp_name, n_args, gslot, deg, ell_w2):
+    """_kernel_relin_tab with the ELL slot's means also reconstructed
+    in-kernel (mean-only blocked slice `lmtab`)."""
+    dg = d1 if gslot == 1 else d0
+    de = d0 + d1 - dg
+    g0 = _params_col(params_ref, 1)
+    row0 = pl.program_id(0) * TILE
+    xe = _ell_rows_blk(lmtab_ref, g0, row0, deg=deg, w2=ell_w2, f=de)
+    xg = _table_rows(mtab_ref, idx_ref, dg)
+    x = xe + xg if gslot == 1 else xg + xe
+    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+def _kernel_tab_blk_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
+                        srel_ref, act_ref, ltab_ref, wtab_ref, idx_ref,
+                        me0_ref, ml0_ref, me1_ref, ml1_ref,
+                        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                        *, d0, d1, z, prec_full, huber, gslot, win_w, deg,
+                        ell_w2):
+    """_kernel_tab_blk with the ELL slot fused too: gathered slot from this
+    tile's camera-window slice (wtab), ELL slot from this tile's group-window
+    slice (ltab).  Params row trailing blocks: [ell_starts | win_starts]."""
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    dg = d1 if gslot == 1 else d0
+    de = t - dg
+    start = _win_start(params_ref)
+    rows_g = _table_rows_blk(wtab_ref, idx_ref, start,
+                             w=win_w, lo=0, f=dg + dg * dg)
+    g0 = _params_col(params_ref, 2)
+    row0 = pl.program_id(0) * TILE
+    rows_e = _ell_rows_blk(ltab_ref, g0, row0, deg=deg, w2=ell_w2,
+                           f=de + de * de)
+    be_g, bl_g = rows_g[:dg], rows_g[dg:]
+    be_e, bl_e = rows_e[:de], rows_e[de:]
+    if gslot == 1:
+        be0, bl0, be1, bl1 = be_e, bl_e, be_g, bl_g
+    else:
+        be0, bl0, be1, bl1 = be_g, bl_g, be_e, bl_e
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0, bl0, be1, bl1,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
+def _kernel_relin_tab_blk_ell(params_ref, lmtab_ref, wtab_ref, idx_ref,
+                              z_ref, fargs_ref, lp_ref, jac_ref, r0_ref,
+                              srel_ref, act_ref,
+                              olp_ref, ojac_ref, or0_ref, osrel_ref,
+                              *, d0, d1, z, comp_name, n_args, gslot, win_w,
+                              deg, ell_w2):
+    """_kernel_relin_tab_blk with the ELL slot's means fused (mean-only
+    slices of both per-tile stacks)."""
+    dg = d1 if gslot == 1 else d0
+    de = d0 + d1 - dg
+    start = _win_start(params_ref)
+    xg = _table_rows_blk(wtab_ref, idx_ref, start, w=win_w, lo=0, f=dg)
+    g0 = _params_col(params_ref, 2)
+    row0 = pl.program_id(0) * TILE
+    xe = _ell_rows_blk(lmtab_ref, g0, row0, deg=deg, w2=ell_w2, f=de)
+    x = xe + xg if gslot == 1 else xg + xe
+    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "deg",
+                     "ell_w2", "interpret"),
+)
+def fused_messages_cm_tab_ell(params, ell_starts, jac, x0, r0, prec,
+                              since_relin, active, ltab, btab, gidx,
+                              me0, ml0, me1, ml1,
+                              *, d0, d1, z, prec_full, huber, gslot, deg,
+                              ell_w2, interpret=False):
+    """fused_messages_cm_tab with the ELL slot's beliefs ALSO fused: `ltab`
+    is the per-tile blocked stack [n_tiles, de + de^2, ell_w2] of the
+    transposed packed ELL-slot table (core/sweep_cm.ell_tables), `ell_starts`
+    [n_tiles] the group-window starts riding in the params SMEM row.  The
+    [F, mp]-sized expanded ELL operands never exist in HBM; numerics are
+    bitwise-identical to the unfused path (one-hot row selection)."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert ltab.shape[0] == t_tiles // SUB, (ltab.shape, t_tiles)
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), ell_starts.astype(dt)]).reshape(1, -1)
+    cm_args = [jac, x0, r0, prec, since_relin, active]
+    msg_args = [me0, ml0, me1, ml1]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args]
+        + [_wtab_spec_of(ltab), _tab_spec_of(btab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in msg_args]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(
+        _kernel_tab_ell, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=_huber_static(huber), gslot=gslot, deg=deg, ell_w2=ell_w2,
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, *cm_args, ltab.astype(dt), btab.astype(dt), gidx,
+      *msg_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot", "deg",
+                     "ell_w2", "interpret"),
+)
+def fused_relin_cm_tab_ell(params, ell_starts, lmtab, mtab, gidx, z_meas,
+                           fargs, linpoint, jac, r0, since_relin, active,
+                           *, d0, d1, z, comp_name, n_args, gslot, deg,
+                           ell_w2, interpret=False):
+    """fused_relin_cm_tab with the ELL slot's means fused (`lmtab`
+    [n_tiles, de, ell_w2] mean-only per-tile stack)."""
+    dt = lmtab.dtype
+    t = d0 + d1
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert lmtab.shape[0] == t_tiles // SUB, (lmtab.shape, t_tiles)
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), ell_starts.astype(dt)]).reshape(1, -1)
+    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_wtab_spec_of(lmtab), _tab_spec_of(mtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in cm_args2]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(_kernel_relin_tab_ell, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args,
+                               gslot=gslot, deg=deg, ell_w2=ell_w2)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, lmtab.astype(dt), mtab.astype(dt), gidx, *cm_args2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "win_w",
+                     "deg", "ell_w2", "interpret"),
+)
+def fused_messages_cm_tabblk_ell(params, ell_starts, starts, jac, x0, r0,
+                                 prec, since_relin, active, ltab, wtab, gidx,
+                                 me0, ml0, me1, ml1,
+                                 *, d0, d1, z, prec_full, huber, gslot,
+                                 win_w, deg, ell_w2, interpret=False):
+    """fused_messages_cm_tabblk with the ELL slot fused too (see
+    fused_messages_cm_tab_ell).  Params row trailing blocks:
+    [ell_starts | win_starts] — `_win_start` reads the last block."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    assert ltab.shape[0] == t_tiles // SUB, (ltab.shape, t_tiles)
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), ell_starts.astype(dt),
+         starts.astype(dt)]).reshape(1, -1)
+    cm_args = [jac, x0, r0, prec, since_relin, active]
+    msg_args = [me0, ml0, me1, ml1]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args]
+        + [_wtab_spec_of(ltab), _wtab_spec_of(wtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in msg_args]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(
+        _kernel_tab_blk_ell, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=_huber_static(huber), gslot=gslot, win_w=win_w, deg=deg,
+        ell_w2=ell_w2,
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, *cm_args, ltab.astype(dt), wtab.astype(dt), gidx,
+      *msg_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot", "win_w",
+                     "deg", "ell_w2", "interpret"),
+)
+def fused_relin_cm_tabblk_ell(params, ell_starts, starts, lmtab, wtab, gidx,
+                              z_meas, fargs, linpoint, jac, r0, since_relin,
+                              active, *, d0, d1, z, comp_name, n_args, gslot,
+                              win_w, deg, ell_w2, interpret=False):
+    """fused_relin_cm_tabblk with the ELL slot's means fused (mean-only
+    per-tile stacks for both slots)."""
+    dt = lmtab.dtype
+    t = d0 + d1
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    assert lmtab.shape[0] == t_tiles // SUB, (lmtab.shape, t_tiles)
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), ell_starts.astype(dt),
+         starts.astype(dt)]).reshape(1, -1)
+    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_wtab_spec_of(lmtab), _wtab_spec_of(wtab), _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in cm_args2]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(_kernel_relin_tab_blk_ell, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args,
+                               gslot=gslot, win_w=win_w, deg=deg,
+                               ell_w2=ell_w2)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, lmtab.astype(dt), wtab.astype(dt), gidx, *cm_args2)
 
 
 def _kernel_tab_blkg(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
@@ -1126,6 +1470,167 @@ def segsum_cm_blk(me, ml, idx, starts, *, n_seg, w, exact=False,
     rows = jnp.swapaxes(partial_out, 1, 2).reshape(n_tiles * w, f)
     out = jax.ops.segment_sum(rows, ids, num_segments=n_seg + w)
     return jnp.swapaxes(out[:n_seg], 0, 1)
+
+
+def _kernel_tab_blkg_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
+                         srel_ref, act_ref, ltab_ref, wtab_ref, gtab_ref,
+                         idx_ref, me0_ref, ml0_ref, me1_ref, ml1_ref,
+                         oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                         *, d0, d1, z, prec_full, huber, gslot, win_w, n_own,
+                         deg, ell_w2):
+    """_kernel_tab_blkg with the ELL slot fused too (halo windowed path):
+    owned gathered ids from this tile's camera window (wtab), ghost ids from
+    the small full ghost table (gtab), ELL beliefs from this tile's
+    group-window slice (ltab).  Params trailing blocks:
+    [ell_starts | win_starts]."""
+    t = d0 + d1
+    jac = _mat(_comps(jac_ref, z * t), z, t)
+    dg = d1 if gslot == 1 else d0
+    de = t - dg
+    f = dg + dg * dg
+    start = _win_start(params_ref)
+    rows_o = _table_rows_blk(wtab_ref, idx_ref, start, w=win_w, lo=0, f=f)
+    rows_g = _table_rows_off(gtab_ref, idx_ref, n_own, f=f)
+    rows = [a + b for a, b in zip(rows_o, rows_g)]
+    g0 = _params_col(params_ref, 2)
+    row0 = pl.program_id(0) * TILE
+    rows_e = _ell_rows_blk(ltab_ref, g0, row0, deg=deg, w2=ell_w2,
+                           f=de + de * de)
+    be_g, bl_g = rows[:dg], rows[dg:]
+    be_e, bl_e = rows_e[:de], rows_e[de:]
+    if gslot == 1:
+        be0, bl0, be1, bl1 = be_e, bl_e, be_g, bl_g
+    else:
+        be0, bl0, be1, bl1 = be_g, bl_g, be_e, bl_e
+    _message_math(
+        params_ref, jac, _comps(x0_ref, t), _comps(r0_ref, z), prec_ref,
+        srel_ref[0], act_ref[0] > 0.5,
+        be0, bl0, be1, bl1,
+        me0_ref, ml0_ref, me1_ref, ml1_ref,
+        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+        d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
+    )
+
+
+def _kernel_relin_tab_blkg_ell(params_ref, lmtab_ref, wtab_ref, gtab_ref,
+                               idx_ref, z_ref, fargs_ref, lp_ref, jac_ref,
+                               r0_ref, srel_ref, act_ref,
+                               olp_ref, ojac_ref, or0_ref, osrel_ref,
+                               *, d0, d1, z, comp_name, n_args, gslot, win_w,
+                               n_own, deg, ell_w2):
+    """Halo windowed relin with the ELL slot's means fused (see
+    _kernel_tab_blkg_ell)."""
+    dg = d1 if gslot == 1 else d0
+    de = d0 + d1 - dg
+    start = _win_start(params_ref)
+    xg_o = _table_rows_blk(wtab_ref, idx_ref, start, w=win_w, lo=0, f=dg)
+    xg_g = _table_rows_off(gtab_ref, idx_ref, n_own, f=dg)
+    xg = [a + b for a, b in zip(xg_o, xg_g)]
+    g0 = _params_col(params_ref, 2)
+    row0 = pl.program_id(0) * TILE
+    xe = _ell_rows_blk(lmtab_ref, g0, row0, deg=deg, w2=ell_w2, f=de)
+    x = xe + xg if gslot == 1 else xg + xe
+    _relin_math(params_ref, x, z_ref, fargs_ref, lp_ref,
+                jac_ref, r0_ref, srel_ref, act_ref,
+                olp_ref, ojac_ref, or0_ref, osrel_ref,
+                d0=d0, d1=d1, z=z, comp_name=comp_name, n_args=n_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "win_w",
+                     "n_own", "deg", "ell_w2", "interpret"),
+)
+def fused_messages_cm_tabblkg_ell(params, ell_starts, starts, jac, x0, r0,
+                                  prec, since_relin, active, ltab, wtab,
+                                  gtab, gidx, me0, ml0, me1, ml1,
+                                  *, d0, d1, z, prec_full, huber, gslot,
+                                  win_w, n_own, deg, ell_w2, interpret=False):
+    """fused_messages_cm_tabblkg with the ELL slot fused (halo paths)."""
+    dt = jac.dtype
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    assert ltab.shape[0] == t_tiles // SUB, (ltab.shape, t_tiles)
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), ell_starts.astype(dt),
+         starts.astype(dt)]).reshape(1, -1)
+    cm_args = [jac, x0, r0, prec, since_relin, active]
+    msg_args = [me0, ml0, me1, ml1]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_cm_spec_of(a) for a in cm_args]
+        + [_wtab_spec_of(ltab), _wtab_spec_of(wtab), _tab_spec_of(gtab),
+           _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in msg_args]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(
+        _kernel_tab_blkg_ell, d0=d0, d1=d1, z=z, prec_full=prec_full,
+        huber=_huber_static(huber), gslot=gslot, win_w=win_w, n_own=n_own,
+        deg=deg, ell_w2=ell_w2,
+    )
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, *cm_args, ltab.astype(dt), wtab.astype(dt),
+      gtab.astype(dt), gidx, *msg_args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d0", "d1", "z", "comp_name", "n_args", "gslot", "win_w",
+                     "n_own", "deg", "ell_w2", "interpret"),
+)
+def fused_relin_cm_tabblkg_ell(params, ell_starts, starts, lmtab, wtab, gtab,
+                               gidx, z_meas, fargs, linpoint, jac, r0,
+                               since_relin, active,
+                               *, d0, d1, z, comp_name, n_args, gslot, win_w,
+                               n_own, deg, ell_w2, interpret=False):
+    """fused_relin_cm_tabblkg with the ELL slot's means fused (halo paths)."""
+    dt = lmtab.dtype
+    t = d0 + d1
+    t_tiles = jac.shape[1]
+    assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
+    grid = (t_tiles // SUB,)
+    assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
+    assert lmtab.shape[0] == t_tiles // SUB, (lmtab.shape, t_tiles)
+    if fargs is None or n_args == 0:
+        fargs = jnp.zeros((1, t_tiles, LANE), dt)
+        n_args = 0
+    params_ext = jnp.concatenate(
+        [params.reshape(-1).astype(dt), ell_starts.astype(dt),
+         starts.astype(dt)]).reshape(1, -1)
+    cm_args2 = [z_meas, fargs, linpoint, jac, r0, since_relin, active]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_wtab_spec_of(lmtab), _wtab_spec_of(wtab), _tab_spec_of(gtab),
+           _cm_spec_of(gidx)]
+        + [_cm_spec_of(a) for a in cm_args2]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z * t, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((z, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((1, t_tiles, LANE), dt),
+    ]
+    out_specs = [_cm_spec_of(o) for o in out_shape]
+    kernel = functools.partial(_kernel_relin_tab_blkg_ell, d0=d0, d1=d1, z=z,
+                               comp_name=comp_name, n_args=n_args,
+                               gslot=gslot, win_w=win_w, n_own=n_own,
+                               deg=deg, ell_w2=ell_w2)
+    return pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape,
+        in_specs=in_specs, out_specs=out_specs, interpret=interpret,
+    )(params_ext, lmtab.astype(dt), wtab.astype(dt), gtab.astype(dt), gidx,
+      *cm_args2)
 
 
 @functools.partial(

@@ -88,6 +88,18 @@ class HaloCMGraph(flax.struct.PyTreeNode):
     win_w: int = flax.struct.field(pytree_node=False, default=0)
     win_ngp: int = flax.struct.field(pytree_node=False, default=0)
     win_ncut: int = flax.struct.field(pytree_node=False, default=0)
+    # In-kernel ELL fusion (mirrors core/sweep_cm.CMGraph.ell_fused): the
+    # relin/message kernels reconstruct the ELL slot from per-tile blocked
+    # group-window slices instead of reading an expanded [F, mp] broadcast —
+    # bitwise-equal, and removes the broadcast (slow at lane-misaligned deg)
+    # from the per-chip sweep.  The group map is row//deg — identical on
+    # every chip — so the starts are a HOST-STATIC tuple and the per-chip
+    # slices lower to static lax.slice copies (core/sweep_cm._start_slices).
+    ell_starts_t: tuple | None = flax.struct.field(
+        pytree_node=False, default=None)
+    ell_w2: int = flax.struct.field(pytree_node=False, default=0)
+    ell_nvp: int = flax.struct.field(pytree_node=False, default=0)
+    ell_fused: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 class HaloCMState(flax.struct.PyTreeNode):
@@ -98,7 +110,7 @@ class HaloCMState(flax.struct.PyTreeNode):
 
 def prepare(hp: halo_mod.HaloProblem,
             segsum_exact: bool = True, gather_mode: str = "auto",
-            window: bool = True):
+            window: bool = True, ell_fused: bool | None = None):
     """Build the per-chip ELL/CM layout for a generic HaloProblem, or None
     if the graph is ineligible (falls back to the generic halo sweep).
 
@@ -266,6 +278,25 @@ def prepare(hp: halo_mod.HaloProblem,
                 _rm2cm(jnp.asarray(gg[c][:, None])) for c in range(P_)
             ]).astype(jnp.int32)
 
+    # ELL group windows for the in-kernel ELL fusion (chip-independent:
+    # the group map is row // deg) — mirrors core/sweep_cm.prepare.
+    ell_starts_t = None
+    ell_w2 = ell_nvp = 0
+    if gather_mode == "table" and deg > 1:
+        n_tiles = mp // TILE
+        w2 = ((TILE // deg + 2) + SUB + LANE - 1) // LANE * LANE
+        nvp = max(((nv + SUB - 1) // SUB) * SUB, w2)
+        st2 = (np.arange(n_tiles) * TILE // deg) // SUB * SUB
+        st2 = np.clip(st2, 0, nvp - w2)
+        grp = np.arange(mp) // deg
+        tl = grp.reshape(-1, TILE)
+        assert (tl.min(1) >= st2).all() and (tl.max(1) < st2 + w2).all()
+        ell_starts_t = tuple(int(s) for s in st2)
+        ell_w2, ell_nvp = int(w2), int(nvp)
+    if ell_fused is None:
+        ell_fused = True
+    ell_fused = bool(ell_fused) and gather_mode == "table" and ell_w2 > 0
+
     hcm = HaloCMGraph(
         vblocks=hp.hgraph.vblocks,
         comm=hp.hgraph.comm,
@@ -286,6 +317,8 @@ def prepare(hp: halo_mod.HaloProblem,
         gather_mode=gather_mode,
         win_starts=win_starts, gidx_ghost_cm=gidx_ghost, cut_ids=cut_ids,
         win_w=win_w, win_ngp=win_ngp, win_ncut=win_ncut,
+        ell_starts_t=ell_starts_t, ell_w2=ell_w2, ell_nvp=ell_nvp,
+        ell_fused=ell_fused,
     )
     # global ids per reordered row (host-side, for init_state)
     rows_global = hp.fb_src_rows[0][np.arange(P_)[:, None], src]
@@ -395,16 +428,28 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
     interp = jax.default_backend() == "cpu"
     t_tiles = hcm.mp // LANE
 
-    # Belief tables -> CM expansion.
+    # Belief tables -> CM expansion (unfused) or per-tile ELL group-window
+    # slices for the in-kernel ELL fusion (hcm.ell_fused; the broadcast
+    # never exists).
     pk_e = _pack_local(state.v[hcm.vb_e], state.ghost[hcm.vb_e], hcm.nv, d_e)
-    cm_e = jnp.broadcast_to(
-        jnp.swapaxes(pk_e, 0, 1)[:, :, None],
-        (pk_e.shape[1], hcm.nv, hcm.deg),
-    ).reshape(pk_e.shape[1], t_tiles, LANE)
     pk_g = _pack_local(state.v[hcm.vb_g], state.ghost[hcm.vb_g],
                        hcm.n_loc_g, d_g)
     d2e, d2g = d_e * d_e, d_g * d_g
-    be_e, bl_e, mean_e = cm_e[:d_e], cm_e[d_e : d_e + d2e], cm_e[d_e + d2e :]
+    if hcm.ell_fused:
+        from gbp_tpu.core.sweep_cm import _start_slices
+
+        pkTe = jnp.swapaxes(
+            jnp.pad(pk_e, ((0, hcm.ell_nvp - pk_e.shape[0]), (0, 0))), 0, 1)
+        ltab = _start_slices(pkTe, None, hcm.ell_starts_t, hcm.ell_w2)
+        lbtab, lmtab = ltab[:, : d_e + d2e], ltab[:, d_e + d2e :]
+        ell_starts = jnp.asarray(hcm.ell_starts_t, jnp.int32)
+    else:
+        cm_e = jnp.broadcast_to(
+            jnp.swapaxes(pk_e, 0, 1)[:, :, None],
+            (pk_e.shape[1], hcm.nv, hcm.deg),
+        ).reshape(pk_e.shape[1], t_tiles, LANE)
+        be_e, bl_e, mean_e = (cm_e[:d_e], cm_e[d_e : d_e + d2e],
+                              cm_e[d_e + d2e :])
     d0, d1 = hcm.dofs
     fs = state.f
     if hcm.gather_mode == "table" and hcm.win_w:
@@ -438,45 +483,89 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
         bw, mw = wtab[:, : d_g + d2g], wtab[:, d_g + d2g :]
         bg, mg = gtab[: d_g + d2g], gtab[d_g + d2g :]
         gslot = 1 - hcm.e
-        lp, jac, r0, srel = fused_relin_cm_tabblkg(
-            params, hcm.win_starts, mean_e, mw, mg, hcm.gidx_cm, hcm.z,
-            hcm.args, fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
-            d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
-            n_args=hcm.n_args, gslot=gslot, win_w=w, n_own=no,
-            interpret=interp,
-        )
-        oe0, ol0, oe1, ol1 = fused_messages_cm_tabblkg(
-            params, hcm.win_starts, jac, lp, r0, hcm.prec, srel, hcm.act,
-            be_e, bl_e, bw, bg, hcm.gidx_cm,
-            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-            d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
-            gslot=gslot, win_w=w, n_own=no, interpret=interp,
-        )
-    elif hcm.gather_mode == "table":
-        from gbp_tpu.ops.messages_pallas import (
-            fused_messages_cm_tab,
-            fused_relin_cm_tab,
-        )
+        if hcm.ell_fused:
+            from gbp_tpu.ops.messages_pallas import (
+                fused_messages_cm_tabblkg_ell,
+                fused_relin_cm_tabblkg_ell,
+            )
 
+            lp, jac, r0, srel = fused_relin_cm_tabblkg_ell(
+                params, ell_starts, hcm.win_starts, lmtab, mw, mg,
+                hcm.gidx_cm, hcm.z, hcm.args, fs.lp, fs.jac, fs.r0, fs.srel,
+                hcm.act, d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+                n_args=hcm.n_args, gslot=gslot, win_w=w, n_own=no,
+                deg=hcm.deg, ell_w2=hcm.ell_w2, interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tabblkg_ell(
+                params, ell_starts, hcm.win_starts, jac, lp, r0, hcm.prec,
+                srel, hcm.act, lbtab, bw, bg, hcm.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+                gslot=gslot, win_w=w, n_own=no, deg=hcm.deg,
+                ell_w2=hcm.ell_w2, interpret=interp,
+            )
+        else:
+            lp, jac, r0, srel = fused_relin_cm_tabblkg(
+                params, hcm.win_starts, mean_e, mw, mg, hcm.gidx_cm, hcm.z,
+                hcm.args, fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
+                d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+                n_args=hcm.n_args, gslot=gslot, win_w=w, n_own=no,
+                interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tabblkg(
+                params, hcm.win_starts, jac, lp, r0, hcm.prec, srel, hcm.act,
+                be_e, bl_e, bw, bg, hcm.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+                gslot=gslot, win_w=w, n_own=no, interpret=interp,
+            )
+    elif hcm.gather_mode == "table":
         ncp = ((pk_g.shape[0] + LANE - 1) // LANE) * LANE
         tab = jnp.swapaxes(
             jnp.pad(pk_g, ((0, ncp - pk_g.shape[0]), (0, 0))), 0, 1)
         btab = tab[: d_g + d2g]
         mtab = tab[d_g + d2g :]
         gslot = 1 - hcm.e
-        lp, jac, r0, srel = fused_relin_cm_tab(
-            params, mean_e, mtab, hcm.gidx_cm, hcm.z, hcm.args,
-            fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
-            d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
-            n_args=hcm.n_args, gslot=gslot, interpret=interp,
-        )
-        oe0, ol0, oe1, ol1 = fused_messages_cm_tab(
-            params, jac, lp, r0, hcm.prec, srel, hcm.act,
-            be_e, bl_e, btab, hcm.gidx_cm,
-            fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
-            d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
-            gslot=gslot, interpret=interp,
-        )
+        if hcm.ell_fused:
+            from gbp_tpu.ops.messages_pallas import (
+                fused_messages_cm_tab_ell,
+                fused_relin_cm_tab_ell,
+            )
+
+            lp, jac, r0, srel = fused_relin_cm_tab_ell(
+                params, ell_starts, lmtab, mtab, hcm.gidx_cm, hcm.z,
+                hcm.args, fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
+                d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+                n_args=hcm.n_args, gslot=gslot, deg=hcm.deg,
+                ell_w2=hcm.ell_w2, interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tab_ell(
+                params, ell_starts, jac, lp, r0, hcm.prec, srel, hcm.act,
+                lbtab, btab, hcm.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+                gslot=gslot, deg=hcm.deg, ell_w2=hcm.ell_w2,
+                interpret=interp,
+            )
+        else:
+            from gbp_tpu.ops.messages_pallas import (
+                fused_messages_cm_tab,
+                fused_relin_cm_tab,
+            )
+
+            lp, jac, r0, srel = fused_relin_cm_tab(
+                params, mean_e, mtab, hcm.gidx_cm, hcm.z, hcm.args,
+                fs.lp, fs.jac, fs.r0, fs.srel, hcm.act,
+                d0=d0, d1=d1, z=hcm.zdim, comp_name=hcm.comp_name,
+                n_args=hcm.n_args, gslot=gslot, interpret=interp,
+            )
+            oe0, ol0, oe1, ol1 = fused_messages_cm_tab(
+                params, jac, lp, r0, hcm.prec, srel, hcm.act,
+                be_e, bl_e, btab, hcm.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
+                gslot=gslot, interpret=interp,
+            )
     else:
         cm_g = _rm2cm(pk_g[hcm.gidx_rm])
         be_g, bl_g, mean_g = (cm_g[:d_g], cm_g[d_g : d_g + d2g],
@@ -609,7 +698,8 @@ def _ell_order_keys(graph):
 
 def distribute(graph, means, mesh: Mesh, anchor_slot: int = 0,
                comm_mode: str = "auto", segsum_exact: bool = True,
-               gather_mode: str = "auto", window: bool = True):
+               gather_mode: str = "auto", window: bool = True,
+               ell_fused: bool | None = None):
     """Partition + CM-prepare + place; returns (hp, hcm, state, run_fn) or
     None when the graph is CM-ineligible."""
     axis = mesh.axis_names[0]
@@ -617,7 +707,8 @@ def distribute(graph, means, mesh: Mesh, anchor_slot: int = 0,
                             order_keys=_ell_order_keys(graph) if window
                             else None)
     prepped = prepare(hp, segsum_exact=segsum_exact,
-                      gather_mode=gather_mode, window=window)
+                      gather_mode=gather_mode, window=window,
+                      ell_fused=ell_fused)
     if prepped is None:
         return None
     hcm, rows_global = prepped

@@ -31,6 +31,11 @@ def _free_port():
 def _launch(out_json, port, path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # The worker is a plain script: its sys.path gets tests/, not the repo
+    # root, so `import gbp_tpu` needs the root on PYTHONPATH explicitly
+    # (machine images that pre-set PYTHONPATH would otherwise shadow it).
+    root = os.path.dirname(os.path.dirname(os.path.abspath(_WORKER)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     return [
         subprocess.Popen(
             [sys.executable, _WORKER, str(pid), "2", "4", str(port),
