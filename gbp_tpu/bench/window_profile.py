@@ -7,13 +7,16 @@ cams is ~4x worse than the 64-cam bench even though the windowed dot
 width equals the 64-cam full-table width.  Something other than the
 table dots scales with camera count.  This harness times each sweep
 stage IN ISOLATION (its own fori_loop with a data dependency so XLA
-cannot hoist the stage out of the loop) at both scales, window on/off:
+cannot hoist the stage out of the loop) at both scales, window on/off,
+on the round-4 FUSED path (in-kernel ELL reconstruction, static-slice
+table prep — core/sweep_cm.CMGraph.ell_fused):
 
-  expand_ell   XLA belief broadcast of the ELL slot ([F, mp] HBM write)
-  relin        fused_relin_cm_tab[win] kernel
-  messages     fused_messages_cm_tab[win] kernel
-  segsum       segsum_cm[_win] one-hot reduction kernel
-  beliefs      XLA belief update (reshape-sums + scaled_sym_solve + tabw prep)
+  tabprep      static-slice window/ELL table stacks (window_tables +
+               ell_tables; the pre-fusion expand_ell stage is gone)
+  relin        fused_relin_cm_tab[blk][_ell] kernel
+  messages     fused_messages_cm_tab[blk][_ell] kernel
+  segsum       segsum_cm[_blk] one-hot reduction kernel
+  other        full - stages (beliefs reshape-sum + solves + glue)
 
 Run ON CHIP (single-client tunnel):
 
@@ -47,7 +50,7 @@ def _timed(fn, *args, iters, **kw):
     return sorted(ts)[1]
 
 
-def profile_scene(graph, means, cfg, window, iters):
+def profile_scene(graph, means, cfg, window, iters, ell_fused=None):
     import jax
     import jax.numpy as jnp
 
@@ -55,17 +58,20 @@ def profile_scene(graph, means, cfg, window, iters):
     from gbp_tpu.core.sweep import f32_exact
     from gbp_tpu.ops import messages_pallas as mp
 
-    cmg = sweep_cm.prepare(graph, segsum_exact=True, window=window)
+    cmg = sweep_cm.prepare(graph, segsum_exact=True, window=window,
+                           ell_fused=ell_fused)
     assert cmg is not None and cmg.gather_mode == "table"
     state = sweep_cm.init_state(cmg, means)
     fb = cmg.fb
     e, g = fb.ell_slot, 1 - fb.ell_slot
     d0, d1 = fb.dofs
     d_g = fb.dofs[g]
+    deg = fb.ell_deg
     zdim = fb.z.shape[-1]
     m = fb.count if fb.n_valid is None else fb.n_valid
-    res = {"win_w": int(cmg.win_w), "n_factors": int(m),
-           "mp": int(cmg.mp), "ncpad": int(cmg.win_ncpad) or None}
+    res = {"win_w": int(cmg.win_w), "ell_fused": bool(cmg.ell_fused),
+           "n_factors": int(m), "mp": int(cmg.mp),
+           "ncpad": int(cmg.win_ncpad) or None}
 
     # --- full sweep ------------------------------------------------------
     def full(n, st):
@@ -74,9 +80,8 @@ def profile_scene(graph, means, cfg, window, iters):
 
     res["full_ms"] = _timed(full, state, iters=iters) * 1e3
 
-    # --- stage inputs (one un-timed expansion) ----------------------------
+    # --- stage inputs (one un-timed prep) ----------------------------------
     vs_e, vs_g = state.v[fb.vblocks[e]], state.v[fb.vblocks[g]]
-    be_e, bl_e, mean_e = sweep_cm._expand_ell(cmg, vs_e)
     fs = state.f
     from gbp_tpu.core import sweep as sweep_mod
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
@@ -86,12 +91,17 @@ def profile_scene(graph, means, cfg, window, iters):
     huber = "row" if fb.huber_arr is not None else fb.huber
     interp = sweep_cm._interpret()
     pk = sweep_cm._pack_beliefs(vs_g)
-    bwtab = mwtab = tab = None
+    bwtab = mwtab = tab = lbtab = lmtab = None
+    be_e = bl_e = mean_e = None
     if cmg.win_w:
         bwtab, mwtab = sweep_cm.window_tables(cmg, pk)
     else:
         ncp = ((pk.shape[0] + mp.LANE - 1) // mp.LANE) * mp.LANE
         tab = jnp.swapaxes(jnp.pad(pk, ((0, ncp - pk.shape[0]), (0, 0))), 0, 1)
+    if cmg.ell_fused:
+        lbtab, lmtab = sweep_cm.ell_tables(cmg, vs_e)
+    else:
+        be_e, bl_e, mean_e = sweep_cm._expand_ell(cmg, vs_e)
 
     # Every stage loop threads its outputs back into its inputs so XLA
     # cannot hoist the stage as loop-invariant.  Where no natural chaining
@@ -103,16 +113,29 @@ def profile_scene(graph, means, cfg, window, iters):
         @f32_exact
         def body(_, c):
             lp, jac, r0, srel = c
+            if cmg.ell_fused and cmg.win_w:
+                return mp.fused_relin_cm_tabblk_ell(
+                    params, cmg.ell_starts, cmg.win_starts, lmtab, mwtab,
+                    cmg.gidx_cm, cmg.z, cmg.args, lp, jac, r0, srel, cmg.act,
+                    d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                    n_args=n_args, gslot=g, win_w=cmg.win_w, deg=deg,
+                    ell_w2=cmg.ell_w2, interpret=interp)
+            if cmg.ell_fused:
+                return mp.fused_relin_cm_tab_ell(
+                    params, cmg.ell_starts, lmtab, tab[d_g + d_g * d_g:],
+                    cmg.gidx_cm, cmg.z, cmg.args, lp, jac, r0, srel, cmg.act,
+                    d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                    n_args=n_args, gslot=g, deg=deg, ell_w2=cmg.ell_w2,
+                    interpret=interp)
             if cmg.win_w:
                 return mp.fused_relin_cm_tabblk(
                     params, cmg.win_starts, mean_e, mwtab, cmg.gidx_cm, cmg.z,
                     cmg.args, lp, jac, r0, srel, cmg.act, d0=d0, d1=d1,
                     z=zdim, comp_name=fb.ftype.name, n_args=n_args, gslot=g,
                     win_w=cmg.win_w, interpret=interp)
-            mtab = tab[d_g + d_g * d_g:]
             return mp.fused_relin_cm_tab(
-                params, mean_e, mtab, cmg.gidx_cm, cmg.z, cmg.args,
-                lp, jac, r0, srel, cmg.act, d0=d0, d1=d1, z=zdim,
+                params, mean_e, tab[d_g + d_g * d_g:], cmg.gidx_cm, cmg.z,
+                cmg.args, lp, jac, r0, srel, cmg.act, d0=d0, d1=d1, z=zdim,
                 comp_name=fb.ftype.name, n_args=n_args, gslot=g,
                 interpret=interp)
 
@@ -125,6 +148,20 @@ def profile_scene(graph, means, cfg, window, iters):
         @f32_exact
         def body(_, msgs):
             me0, ml0, me1, ml1 = msgs
+            if cmg.ell_fused and cmg.win_w:
+                return mp.fused_messages_cm_tabblk_ell(
+                    params, cmg.ell_starts, cmg.win_starts, fs.jac, fs.lp,
+                    fs.r0, cmg.prec, fs.srel, cmg.act, lbtab, bwtab,
+                    cmg.gidx_cm, me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim,
+                    prec_full=False, huber=huber, gslot=g, win_w=cmg.win_w,
+                    deg=deg, ell_w2=cmg.ell_w2, interpret=interp)
+            if cmg.ell_fused:
+                return mp.fused_messages_cm_tab_ell(
+                    params, cmg.ell_starts, fs.jac, fs.lp, fs.r0, cmg.prec,
+                    fs.srel, cmg.act, lbtab, tab[: d_g + d_g * d_g],
+                    cmg.gidx_cm, me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim,
+                    prec_full=False, huber=huber, gslot=g, deg=deg,
+                    ell_w2=cmg.ell_w2, interpret=interp)
             if cmg.win_w:
                 return mp.fused_messages_cm_tabblk(
                     params, cmg.win_starts, fs.jac, fs.lp, fs.r0, cmg.prec,
@@ -132,11 +169,11 @@ def profile_scene(graph, means, cfg, window, iters):
                     me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim,
                     prec_full=False, huber=huber, gslot=g, win_w=cmg.win_w,
                     interpret=interp)
-            btab = tab[: d_g + d_g * d_g]
             return mp.fused_messages_cm_tab(
                 params, fs.jac, fs.lp, fs.r0, cmg.prec, fs.srel, cmg.act,
-                be_e, bl_e, btab, cmg.gidx_cm, me0, ml0, me1, ml1,
-                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber, gslot=g, interpret=interp)
+                be_e, bl_e, tab[: d_g + d_g * d_g], cmg.gidx_cm,
+                me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim, prec_full=False,
+                huber=huber, gslot=g, interpret=interp)
 
         return jax.lax.fori_loop(0, n, body, carry)
 
@@ -145,6 +182,7 @@ def profile_scene(graph, means, cfg, window, iters):
 
     me_g, ml_g = fs.msg_eta[g], fs.msg_lam[g]
     n_g = graph.vblocks[fb.vblocks[g]].count
+    leak = leak
 
     def segsum_loop(n, carry):
         def body(_, me):
@@ -161,18 +199,30 @@ def profile_scene(graph, means, cfg, window, iters):
 
     res["segsum_ms"] = _timed(segsum_loop, me_g, iters=iters) * 1e3
 
-    def expand_loop(n, carry):
-        def body(_, vs):
-            be, bl, mn = sweep_cm._expand_ell(cmg, vs)
-            return vs.replace(eta=vs.eta + leak(be) + leak(bl) + leak(mn))
+    def tabprep_loop(n, carry):
+        def body(_, c):
+            vsg, vse = c
+            pkx = sweep_cm._pack_beliefs(vsg)
+            acc = vsg.eta
+            if cmg.win_w:
+                bw, mw = sweep_cm.window_tables(cmg, pkx)
+                acc = acc + leak(bw) + leak(mw)
+            if cmg.ell_fused:
+                lb, lm = sweep_cm.ell_tables(cmg, vse)
+                acc = acc + leak(lb) + leak(lm)
+            elif not cmg.win_w:
+                acc = acc + leak(pkx)
+            # Thread BOTH blocks through the carry so neither table build is
+            # loop-invariant.
+            return (vsg.replace(eta=acc), vse.replace(eta=vse.eta + leak(acc)))
 
         return jax.lax.fori_loop(0, n, body, carry)
 
-    res["expand_ell_ms"] = _timed(expand_loop, vs_e, iters=iters) * 1e3
+    res["tabprep_ms"] = _timed(tabprep_loop, (vs_g, vs_e), iters=iters) * 1e3
 
     kernels = (res["relin_ms"] + res["messages_ms"] + res["segsum_ms"]
-               + res["expand_ell_ms"])
-    res["other_ms"] = res["full_ms"] - kernels  # beliefs + tabw prep + glue
+               + res["tabprep_ms"])
+    res["other_ms"] = res["full_ms"] - kernels  # beliefs + solves + glue
     res["ns_per_factor"] = res["full_ms"] * 1e6 / m
     return res
 
@@ -184,6 +234,8 @@ def main():
     ap.add_argument("--lpc", type=int, default=60)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--skip_bench_scene", action="store_true")
+    ap.add_argument("--unfused", action="store_true",
+                    help="profile the pre-fusion path (ell_fused=False)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -194,12 +246,14 @@ def main():
 
     cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
                     message_form="pallas")
+    ell_fused = False if args.unfused else None
     out = {"platform": str(jax.devices()[0]), "scenes": {}}
 
     if not args.skip_bench_scene:
         sim = ba.simulate(n_cams=64, n_lmks=8000, pix_sigma=1.0, seed=0)
         graph, means = ba.build(sim)
-        r = profile_scene(graph, means, cfg, window=False, iters=args.iters)
+        r = profile_scene(graph, means, cfg, window=False, iters=args.iters,
+                          ell_fused=ell_fused)
         out["scenes"]["bench64"] = r
         print(f"[profile] bench64: {json.dumps(r)}", flush=True)
 
@@ -210,7 +264,8 @@ def main():
     graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
                             lmk_prior_prec=1000.0)
     for window in (False, True):
-        r = profile_scene(graph, means, cfg, window=window, iters=args.iters)
+        r = profile_scene(graph, means, cfg, window=window, iters=args.iters,
+                          ell_fused=ell_fused)
         key = f"blocks{n_cams_total}_" + ("win" if window else "full")
         out["scenes"][key] = r
         print(f"[profile] {key}: {json.dumps(r)}", flush=True)

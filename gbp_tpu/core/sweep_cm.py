@@ -603,6 +603,9 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
         d_g = fb.dofs[g]
         pk = _pack_beliefs(vs_g)
         lbtab, lmtab = ell_tables(cmg, vs_e)
+        # The folded segsum partials must mirror the standalone kernels'
+        # numerics (segsum_cm forces exact for non-f32 operands).
+        sum_exact = cmg.segsum_exact or dt != jnp.float32
         if cmg.win_w:
             bwtab, mwtab = window_tables(cmg, pk)
             lp, jac, r0, srel = fused_relin_cm_tabblk_ell(
@@ -612,13 +615,13 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
                 n_args=n_args, gslot=g, win_w=cmg.win_w, deg=deg,
                 ell_w2=cmg.ell_w2, interpret=interp,
             )
-            oe0, ol0, oe1, ol1 = fused_messages_cm_tabblk_ell(
+            oe0, ol0, oe1, ol1, gpart = fused_messages_cm_tabblk_ell(
                 params, cmg.ell_starts, cmg.win_starts, jac, lp, r0,
                 cmg.prec, srel, cmg.act, lbtab, bwtab, cmg.gidx_cm,
                 fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
                 d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
                 gslot=g, win_w=cmg.win_w, deg=deg, ell_w2=cmg.ell_w2,
-                interpret=interp,
+                exact=sum_exact, interpret=interp,
             )
         else:
             ncp = ((pk.shape[0] + LANE - 1) // LANE) * LANE
@@ -633,12 +636,13 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
                 n_args=n_args, gslot=g, deg=deg, ell_w2=cmg.ell_w2,
                 interpret=interp,
             )
-            oe0, ol0, oe1, ol1 = fused_messages_cm_tab_ell(
+            oe0, ol0, oe1, ol1, gpart = fused_messages_cm_tab_ell(
                 params, cmg.ell_starts, jac, lp, r0, cmg.prec, srel,
                 cmg.act, lbtab, btab, cmg.gidx_cm,
                 fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
                 d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
-                gslot=g, deg=deg, ell_w2=cmg.ell_w2, interpret=interp,
+                gslot=g, deg=deg, ell_w2=cmg.ell_w2, exact=sum_exact,
+                interpret=interp,
             )
     elif cmg.gather_mode == "table":
         be_e, bl_e, mean_e = _expand_ell(cmg, vs_e)
@@ -729,7 +733,11 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
 
     # ELL slot: padded/clone rows carry zero messages, so the plain
     # reshape-sum over the degree axis is exact (same invariant as
-    # sweep.update_beliefs' ELL path).
+    # sweep.update_beliefs' ELL path).  (Folding this reduction into the
+    # message kernel like the gathered slot was tried and measured a clear
+    # REGRESSION — bench64 2.18 -> 2.60 ms/sweep, city 3.58 -> 4.24: the
+    # per-tile group one-hot dots + segment_sum combine cost more than the
+    # reshape-sum they replace, even at lane-misaligned deg.  Not adopted.)
     d_e = fb.dofs[e]
     vb_e = cmg.base.vblocks[fb.vblocks[e]]
     n_e = vb_e.count
@@ -742,11 +750,28 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
     # reshape-sum is already aligned — no per-sweep unpermute.
     sum_e = sum_e[:, :n_e]
 
-    # Gathered slot: one-hot MXU segment-sum over the CM messages in place.
+    # Gathered slot: one-hot MXU segment-sum over the CM messages — folded
+    # into the message kernel on the fused path (`gpart`; bitwise-equal to
+    # the standalone kernels), standalone kernel launch otherwise.
     d_g = fb.dofs[g]
     vb_g = cmg.base.vblocks[fb.vblocks[g]]
     n_g = vb_g.count
-    if cmg.win_w:
+    f_g = d_g + d_g * d_g
+    if cmg.gather_mode == "table" and cmg.ell_fused:
+        if cmg.win_w:
+            # Cross-tile combine of the folded per-tile partials — the same
+            # XLA segment_sum tail as segsum_cm_blk.
+            w = cmg.win_w
+            n_tiles = cmg.mp // TILE
+            ids = (cmg.win_starts[:, None]
+                   + jnp.arange(w, dtype=cmg.win_starts.dtype)).reshape(-1)
+            rows = jnp.swapaxes(gpart, 1, 2).reshape(n_tiles * w, f_g)
+            sum_g = jnp.swapaxes(
+                jax.ops.segment_sum(rows, ids, num_segments=n_g + w)[:n_g],
+                0, 1)
+        else:
+            sum_g = gpart[:, :n_g]
+    elif cmg.win_w:
         sum_g = segsum_cm_blk(me_g, ml_g, cmg.gidx_cm, cmg.win_starts,
                               n_seg=n_g, w=cmg.win_w,
                               exact=cmg.segsum_exact, interpret=interp)

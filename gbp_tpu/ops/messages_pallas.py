@@ -859,15 +859,84 @@ def _ell_rows_blk(ltab_ref, g0, row0, *, deg, w2, f):
     return [stacked[k] for k in range(f)]
 
 
+def _segsum_partial_blk(oe_ref, ol_ref, idx_ref, start, out_ref, *, w,
+                        exact):
+    """Windowed segment-sum partials of THIS kernel's own message outputs:
+    mirrors `_kernel_segsum_blk` bit for bit (same [eta | lam] concat, same
+    exact 3-part value split, same per-sublane dot order), but reads the
+    freshly-written output refs instead of re-streaming the messages from
+    HBM on a second kernel launch — the fold removes the standalone segsum
+    stage (measured 0.7-1.1 ms/sweep isolated) and Mosaic CSEs the one-hot
+    iota/compare with the belief-reconstruction dots that used the same
+    window."""
+    acc = jnp.zeros_like(out_ref[0])  # [f, w]
+    for s in range(SUB):
+        sub = jnp.concatenate([oe_ref[:, s, :], ol_ref[:, s, :]], axis=0)
+        i_s = idx_ref[0, s : s + 1, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (w, LANE), 0) + start) == i_s
+        acc = _segsum_dots(acc, sub, oh, exact)
+    out_ref[0] = acc
+
+
+def _segsum_dots(acc, sub, oh, exact):
+    """One sublane's value x one-hot dots, shared by the folded partials and
+    mirroring `_kernel_segsum`/`_kernel_segsum_blk` bit for bit: exact =
+    3-part f32 mantissa split (bitwise vs HIGHEST); else the bf16 hi/lo
+    2-dot split (~2^-16 relative)."""
+    dn = (((1,), (1,)), ((), ()))
+    if exact and sub.dtype == jnp.float32:
+        parts, _ = _split_f32(sub)
+        ohf = oh.astype(jnp.float32)
+        for part in parts:
+            acc = acc + jax.lax.dot_general(
+                part, ohf, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+    elif exact or sub.dtype != jnp.float32:
+        acc = acc + jax.lax.dot_general(
+            sub, oh.astype(sub.dtype), dn,
+            preferred_element_type=acc.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        ohf = oh.astype(jnp.float32)
+        hi = sub.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = (sub - hi).astype(jnp.bfloat16).astype(jnp.float32)
+        for part in (hi, lo):
+            acc = acc + jax.lax.dot_general(
+                part, ohf, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+    return acc
+
+
+def _segsum_partial_full(oe_ref, ol_ref, idx_ref, out_ref, *, ncp, exact):
+    """Full-table fold: the revisited-accumulator form of
+    `_segsum_partial_blk`, mirroring `_kernel_segsum` (exact mode) bit for
+    bit — grid-sequential accumulation into one [f, ncp] block."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    acc = out_ref[...]
+    for s in range(SUB):
+        sub = jnp.concatenate([oe_ref[:, s, :], ol_ref[:, s, :]], axis=0)
+        i_s = idx_ref[0, s : s + 1, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (ncp, LANE), 0) == i_s)
+        acc = _segsum_dots(acc, sub, oh, exact)
+    out_ref[...] = acc
+
+
 def _kernel_tab_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref,
                     act_ref, ltab_ref, tab_ref, idx_ref,
                     me0_ref, ml0_ref, me1_ref, ml1_ref,
-                    oe0_ref, ol0_ref, oe1_ref, ol1_ref,
-                    *, d0, d1, z, prec_full, huber, gslot, deg, ell_w2):
+                    oe0_ref, ol0_ref, oe1_ref, ol1_ref, gpart_ref,
+                    *, d0, d1, z, prec_full, huber, gslot, deg, ell_w2, ncp,
+                    exact):
     """_kernel_tab with BOTH slots reconstructed in-kernel: the gathered slot
     from the whole-grid VMEM table (as before) and the ELL slot from this
     tile's blocked slice `ltab` (see `_ell_rows_blk`) — no expanded belief
-    operands in HBM for either slot."""
+    operands in HBM for either slot.  Also folds the gathered-slot
+    segment-sum (`_segsum_partial_full`) into the same launch."""
     t = d0 + d1
     jac = _mat(_comps(jac_ref, z * t), z, t)
     dg = d1 if gslot == 1 else d0
@@ -891,6 +960,8 @@ def _kernel_tab_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref, srel_ref,
         oe0_ref, ol0_ref, oe1_ref, ol1_ref,
         d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
     )
+    oe_g, ol_g = (oe1_ref, ol1_ref) if gslot == 1 else (oe0_ref, ol0_ref)
+    _segsum_partial_full(oe_g, ol_g, idx_ref, gpart_ref, ncp=ncp, exact=exact)
 
 
 def _kernel_relin_tab_ell(params_ref, lmtab_ref, mtab_ref, idx_ref, z_ref,
@@ -915,12 +986,14 @@ def _kernel_relin_tab_ell(params_ref, lmtab_ref, mtab_ref, idx_ref, z_ref,
 def _kernel_tab_blk_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
                         srel_ref, act_ref, ltab_ref, wtab_ref, idx_ref,
                         me0_ref, ml0_ref, me1_ref, ml1_ref,
-                        oe0_ref, ol0_ref, oe1_ref, ol1_ref,
+                        oe0_ref, ol0_ref, oe1_ref, ol1_ref, gpart_ref,
                         *, d0, d1, z, prec_full, huber, gslot, win_w, deg,
-                        ell_w2):
+                        ell_w2, exact):
     """_kernel_tab_blk with the ELL slot fused too: gathered slot from this
     tile's camera-window slice (wtab), ELL slot from this tile's group-window
-    slice (ltab).  Params row trailing blocks: [ell_starts | win_starts]."""
+    slice (ltab).  Params row trailing blocks: [ell_starts | win_starts].
+    Also folds the windowed gathered-slot segment-sum partials
+    (`_segsum_partial_blk`) into the same launch."""
     t = d0 + d1
     jac = _mat(_comps(jac_ref, z * t), z, t)
     dg = d1 if gslot == 1 else d0
@@ -946,6 +1019,9 @@ def _kernel_tab_blk_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
         oe0_ref, ol0_ref, oe1_ref, ol1_ref,
         d0=d0, d1=d1, z=z, prec_full=prec_full, huber=huber,
     )
+    oe_g, ol_g = (oe1_ref, ol1_ref) if gslot == 1 else (oe0_ref, ol0_ref)
+    _segsum_partial_blk(oe_g, ol_g, idx_ref, start, gpart_ref, w=win_w,
+                        exact=exact)
 
 
 def _kernel_relin_tab_blk_ell(params_ref, lmtab_ref, wtab_ref, idx_ref,
@@ -973,24 +1049,35 @@ def _kernel_relin_tab_blk_ell(params_ref, lmtab_ref, wtab_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "deg",
-                     "ell_w2", "interpret"),
+                     "ell_w2", "exact", "interpret"),
 )
 def fused_messages_cm_tab_ell(params, ell_starts, jac, x0, r0, prec,
                               since_relin, active, ltab, btab, gidx,
                               me0, ml0, me1, ml1,
                               *, d0, d1, z, prec_full, huber, gslot, deg,
-                              ell_w2, interpret=False):
+                              ell_w2, exact=True, interpret=False):
     """fused_messages_cm_tab with the ELL slot's beliefs ALSO fused: `ltab`
     is the per-tile blocked stack [n_tiles, de + de^2, ell_w2] of the
     transposed packed ELL-slot table (core/sweep_cm.ell_tables), `ell_starts`
     [n_tiles] the group-window starts riding in the params SMEM row.  The
     [F, mp]-sized expanded ELL operands never exist in HBM; numerics are
-    bitwise-identical to the unfused path (one-hot row selection)."""
+    bitwise-identical to the unfused path (one-hot row selection).
+
+    Returns (eta0, lam0, eta1, lam1, gpart): the 5th output is the folded
+    gathered-slot segment-sum [dg + dg^2, ncp] — bitwise equal to
+    segsum_cm on the returned messages, with the standalone launch and its
+    full re-read of the message streams gone.  (An ELL-side fold of the
+    reshape-sum was ALSO tried and measured a clear regression — bench64
+    2.18 -> 2.60 ms, city 3.58 -> 4.24 — the per-tile group one-hot dots
+    plus segment_sum combine cost more than the reshape-sum they replace;
+    not adopted.)"""
     dt = jac.dtype
     t_tiles = jac.shape[1]
     assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
     grid = (t_tiles // SUB,)
     assert ltab.shape[0] == t_tiles // SUB, (ltab.shape, t_tiles)
+    dg = d1 if gslot == 1 else d0
+    ncp = btab.shape[1]
     params_ext = jnp.concatenate(
         [params.reshape(-1).astype(dt), ell_starts.astype(dt)]).reshape(1, -1)
     cm_args = [jac, x0, r0, prec, since_relin, active]
@@ -1006,11 +1093,15 @@ def fused_messages_cm_tab_ell(params, ell_starts, jac, x0, r0, prec,
         jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
         jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
         jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((dg + dg * dg, ncp), dt),
     ]
-    out_specs = [_cm_spec_of(o) for o in out_shape]
+    out_specs = [_cm_spec_of(o) for o in out_shape[:4]] + [
+        pl.BlockSpec((dg + dg * dg, ncp), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)]
     kernel = functools.partial(
         _kernel_tab_ell, d0=d0, d1=d1, z=z, prec_full=prec_full,
         huber=_huber_static(huber), gslot=gslot, deg=deg, ell_w2=ell_w2,
+        ncp=ncp, exact=exact,
     )
     return pl.pallas_call(
         kernel, grid=grid, out_shape=out_shape,
@@ -1066,22 +1157,29 @@ def fused_relin_cm_tab_ell(params, ell_starts, lmtab, mtab, gidx, z_meas,
 @functools.partial(
     jax.jit,
     static_argnames=("d0", "d1", "z", "prec_full", "huber", "gslot", "win_w",
-                     "deg", "ell_w2", "interpret"),
+                     "deg", "ell_w2", "exact", "interpret"),
 )
 def fused_messages_cm_tabblk_ell(params, ell_starts, starts, jac, x0, r0,
                                  prec, since_relin, active, ltab, wtab, gidx,
                                  me0, ml0, me1, ml1,
                                  *, d0, d1, z, prec_full, huber, gslot,
-                                 win_w, deg, ell_w2, interpret=False):
+                                 win_w, deg, ell_w2, exact=True,
+                                 interpret=False):
     """fused_messages_cm_tabblk with the ELL slot fused too (see
     fused_messages_cm_tab_ell).  Params row trailing blocks:
-    [ell_starts | win_starts] — `_win_start` reads the last block."""
+    [ell_starts | win_starts] — `_win_start` reads the last block.
+
+    Returns (eta0, lam0, eta1, lam1, gpart): the 5th output is the stack
+    of folded per-tile windowed segment-sum partials [n_tiles, dg + dg^2,
+    win_w] — bitwise equal to segsum_cm_blk's kernel stage on the returned
+    messages; the caller runs the same XLA segment_sum combine."""
     dt = jac.dtype
     t_tiles = jac.shape[1]
     assert t_tiles % SUB == 0, t_tiles  # else trailing tiles silently drop
     grid = (t_tiles // SUB,)
     assert wtab.shape[0] == t_tiles // SUB, (wtab.shape, t_tiles)
     assert ltab.shape[0] == t_tiles // SUB, (ltab.shape, t_tiles)
+    dg = d1 if gslot == 1 else d0
     params_ext = jnp.concatenate(
         [params.reshape(-1).astype(dt), ell_starts.astype(dt),
          starts.astype(dt)]).reshape(1, -1)
@@ -1098,12 +1196,15 @@ def fused_messages_cm_tabblk_ell(params, ell_starts, starts, jac, x0, r0,
         jax.ShapeDtypeStruct((d0 * d0, t_tiles, LANE), dt),
         jax.ShapeDtypeStruct((d1, t_tiles, LANE), dt),
         jax.ShapeDtypeStruct((d1 * d1, t_tiles, LANE), dt),
+        jax.ShapeDtypeStruct((t_tiles // SUB, dg + dg * dg, win_w), dt),
     ]
-    out_specs = [_cm_spec_of(o) for o in out_shape]
+    out_specs = [_cm_spec_of(o) for o in out_shape[:4]] + [
+        pl.BlockSpec((1, dg + dg * dg, win_w), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)]
     kernel = functools.partial(
         _kernel_tab_blk_ell, d0=d0, d1=d1, z=z, prec_full=prec_full,
         huber=_huber_static(huber), gslot=gslot, win_w=win_w, deg=deg,
-        ell_w2=ell_w2,
+        ell_w2=ell_w2, exact=exact,
     )
     return pl.pallas_call(
         kernel, grid=grid, out_shape=out_shape,

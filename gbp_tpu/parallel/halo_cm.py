@@ -539,12 +539,13 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
                 n_args=hcm.n_args, gslot=gslot, deg=hcm.deg,
                 ell_w2=hcm.ell_w2, interpret=interp,
             )
-            oe0, ol0, oe1, ol1 = fused_messages_cm_tab_ell(
+            oe0, ol0, oe1, ol1, gpart = fused_messages_cm_tab_ell(
                 params, ell_starts, jac, lp, r0, hcm.prec, srel, hcm.act,
                 lbtab, btab, hcm.gidx_cm,
                 fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
                 d0=d0, d1=d1, z=hcm.zdim, prec_full=False, huber=hcm.huber,
                 gslot=gslot, deg=hcm.deg, ell_w2=hcm.ell_w2,
+                exact=hcm.segsum_exact or fs.r0.dtype != jnp.float32,
                 interpret=interp,
             )
         else:
@@ -595,7 +596,8 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
     # Partial sums over the local universes.
     me_e, ml_e = fs.msg_eta[hcm.e], fs.msg_lam[hcm.e]
     me_g, ml_g = fs.msg_eta[1 - hcm.e], fs.msg_lam[1 - hcm.e]
-    # ELL slot: free reshape-sum (clone rows carry zero messages).
+    # ELL slot: free reshape-sum (clone rows carry zero messages; the
+    # kernel-folded alternative measured slower — see core/sweep_cm.sweep).
     sum_e = jnp.concatenate([
         me_e.reshape(d_e, hcm.nv, hcm.deg).sum(-1),
         ml_e.reshape(d2e, hcm.nv, hcm.deg).sum(-1),
@@ -617,6 +619,9 @@ def _sweep_cm_halo(hcm: HaloCMGraph, state: HaloCMState, cfg: GBPConfig,
             sum_ext[:, hcm.win_ngp:])
         sum_g = jnp.concatenate(
             [sum_own, sum_ext[:, : hcm.n_loc_g - no]], axis=1)
+    elif hcm.gather_mode == "table" and hcm.ell_fused:
+        # Folded into the message kernel (bitwise-equal to segsum_cm).
+        sum_g = gpart[:, : hcm.n_loc_g]
     else:
         sum_g = segsum_cm(me_g, ml_g, hcm.gidx_cm, n_seg=hcm.n_loc_g,
                           exact=hcm.segsum_exact, interpret=interp)
