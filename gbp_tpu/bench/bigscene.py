@@ -11,13 +11,25 @@ sort — real-BAL-file conditions), measured with the camera-window kernels
 ON vs OFF, plus a loop-closure-rich Manhattan pose graph on the CM fast
 path (loop-rich graphs have bounded effective diameter, unlike chains).
 
+Round-5 rework (VERDICT r4 items 1b, 3b, 3c):
+  * a Venice-scale row (configs[3] evidence): >=4M valid factors on the
+    CURRENT windowed/fused path, same scene family scaled out;
+  * every row integrates >= `--sweeps` (default 200) sweeps per timed
+    repeat and reports min/median/max over the repeats (the committed r4
+    artifact's 50-sweep pose row moved +16% under the judge's rerun);
+  * the pose-graph row's quality metric is tied to a Gauss-Newton MAP
+    target (parallel/schur.gauss_newton_step_pcg — full-system PCG, the
+    same-block analogue of the BA bench's Schur-GN target): the row
+    reports wall-clock to ATE <= 1.05x ATE(GN) alongside throughput,
+    instead of dressing a throughput number in an unconverged ATE.
+
 Run ON CHIP (the axon tunnel is single-client; nothing else may hold the
 device):
 
     python -m gbp_tpu.bench.bigscene [--blocks 32] [--cams 40] [--lpc 60]
-        [--sweeps 50] [--poses 4000]
+        [--sweeps 200] [--poses 4000] [--skip_venice]
 
-Writes gbp_tpu/bench/artifacts/bigscene_tpu_r4.json.
+Writes gbp_tpu/bench/artifacts/bigscene_tpu_r5.json.
 """
 from __future__ import annotations
 
@@ -27,7 +39,10 @@ import os
 import time
 
 
-def _measure_cm(graph, means, cfg, sweeps, window):
+def _measure_cm(graph, means, cfg, sweeps, window, reps=3):
+    """Compile + warm, then `reps` timed runs of `sweeps` fori sweeps.
+
+    Returns (sps dict with min/median/max, final state, cmg, win_w)."""
     import jax
 
     from gbp_tpu.core import sweep_cm
@@ -39,15 +54,58 @@ def _measure_cm(graph, means, cfg, sweeps, window):
     state = runj(cmg, state, cfg, sweeps)
     state.v[0].mean.block_until_ready()  # compile + warm
     ts = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
         out = runj(cmg, state, cfg, sweeps)
         out.v[0].mean.block_until_ready()
         ts.append(time.time() - t0)
     state = out
-    dt = sorted(ts)[1]
+    ts.sort()
+    sps = {
+        "median": round(sweeps / ts[len(ts) // 2], 2),
+        "min": round(sweeps / ts[-1], 2),
+        "max": round(sweeps / ts[0], 2),
+        "sweeps_per_rep": sweeps,
+    }
     win_w = int(cmg.win_w) or None  # 0 = windows disabled (full table)
-    return sweeps / dt, state, cmg, win_w
+    return sps, state, cmg, win_w
+
+
+def _city_row(out, key, sim, args, cfg, sweeps):
+    """Measure one merged-blocks city scene, window off/on."""
+    import numpy as np
+
+    from gbp_tpu.core import sweep_cm
+    from gbp_tpu.models import ba
+
+    n_cams_total = sim["cam_init"].shape[0]
+    graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
+                            lmk_prior_prec=1000.0)
+    fb0 = graph.fblocks[0]
+    m = fb0.count if fb0.n_valid is None else fb0.n_valid
+    print(f"[bigscene] {key}: {n_cams_total} cams, "
+          f"{sim['lmk_init'].shape[0]} lmks, {m} factors")
+    for window in (False, True):
+        sps, state, cmg, win_w = _measure_cm(graph, means, cfg, sweeps, window)
+        are = float(ba.avg_reprojection_error(
+            graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"]))
+        assert np.isfinite(are), "non-finite ARE"
+        tag = "window" if window else "full_table"
+        out["results"][f"{key}_{tag}"] = {
+            "n_cams": int(n_cams_total),
+            "n_factors": int(m), "sweeps_per_s": sps["median"],
+            "sweeps_per_s_min_max": [sps["min"], sps["max"]],
+            "sweeps_per_rep": sps["sweeps_per_rep"],
+            "factor_updates_per_s": round(sps["median"] * m),
+            "mp_rows": int(cmg.mp),
+            "ns_per_valid_factor": round(1e9 / (sps["median"] * m), 3),
+            "are_px": round(are, 4), "win_w": win_w,
+        }
+        print(f"[bigscene] {key} {tag}: {sps['median']:.2f} sweeps/s "
+              f"[{sps['min']:.2f}, {sps['max']:.2f}] "
+              f"({sps['median'] * m / 1e6:.0f}M factor-updates/s), "
+              f"ARE {are:.3f}px" + (f", win_w={win_w}" if win_w else ""),
+              flush=True)
 
 
 def main():
@@ -57,8 +115,13 @@ def main():
     ap.add_argument("--cams", type=int, default=40, help="cameras per block")
     ap.add_argument("--lpc", type=int, default=60,
                     help="landmarks per camera within a block")
-    ap.add_argument("--sweeps", type=int, default=50)
+    ap.add_argument("--sweeps", type=int, default=200,
+                    help="sweeps integrated per timed repeat")
     ap.add_argument("--poses", type=int, default=4000)
+    ap.add_argument("--venice_blocks", type=int, default=256,
+                    help="blocks for the >=4M-factor configs[3] row")
+    ap.add_argument("--venice_lpc", type=int, default=80)
+    ap.add_argument("--skip_venice", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -68,40 +131,27 @@ def main():
     from gbp_tpu.core import sweep_cm
     from gbp_tpu.core.sweep import GBPConfig
     from gbp_tpu.models import ba, pose_graph
+    from gbp_tpu.parallel import schur
 
     dev = jax.devices()[0]
     out = {"platform": str(dev), "results": {}}
+
+    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
+                    message_form="pallas")
 
     # --- city-scale merged-blocks BA (shuffled ids -> locality sort) ---
     sim = ba.simulate_blocks(n_blocks=args.blocks, n_cams=args.cams,
                              lmks_per_cam=args.lpc, window=3, seed=0,
                              shuffle=True)
-    n_cams_total = sim["cam_init"].shape[0]
-    graph, means = ba.build(sim, layout="ell", cam_prior_prec=1000.0,
-                            lmk_prior_prec=1000.0)
-    fb0 = graph.fblocks[0]
-    m = fb0.count if fb0.n_valid is None else fb0.n_valid
-    cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
-                    message_form="pallas")
-    print(f"[bigscene] city blocks: {n_cams_total} cams "
-          f"({args.blocks}x{args.cams}), {sim['lmk_init'].shape[0]} lmks, "
-          f"{m} factors on {dev}")
-    for window in (False, True):
-        sps, state, cmg, win_w = _measure_cm(graph, means, cfg, args.sweeps,
-                                             window)
-        are = float(ba.avg_reprojection_error(
-            graph, sweep_cm.to_gbp_state(cmg, state), k=sim["k"]))
-        assert np.isfinite(are), "non-finite ARE"
-        tag = "window" if window else "full_table"
-        out["results"][f"ba_{tag}"] = {
-            "n_cams": int(n_cams_total),
-            "n_factors": int(m), "sweeps_per_s": round(sps, 2),
-            "factor_updates_per_s": round(sps * m),
-            "are_px": round(are, 4), "win_w": win_w,
-        }
-        print(f"[bigscene] BA {tag}: {sps:.2f} sweeps/s "
-              f"({sps * m / 1e6:.0f}M factor-updates/s), ARE {are:.3f}px"
-              + (f", win_w={win_w}" if win_w else ""))
+    _city_row(out, "ba_city", sim, args, cfg, args.sweeps)
+
+    # --- Venice-scale (configs[3]): >=4M valid factors, current path ---
+    if not args.skip_venice:
+        vsim = ba.simulate_blocks(n_blocks=args.venice_blocks,
+                                  n_cams=args.cams,
+                                  lmks_per_cam=args.venice_lpc, window=3,
+                                  seed=1, shuffle=True)
+        _city_row(out, "ba_venice", vsim, args, cfg, args.sweeps)
 
     # --- long Manhattan pose graph on the CM fast path ---
     psim = pose_graph.simulate_manhattan(n_poses=args.poses, seed=0,
@@ -110,22 +160,74 @@ def main():
     pcfg = pose_graph.default_config()
     pfb = pg.fblocks[0]
     pm = pfb.count if pfb.n_valid is None else pfb.n_valid
-    sps, state, cmg, win_w = _measure_cm(pg, pmeans, pcfg, args.sweeps, True)
+    psweeps = max(args.sweeps, 400)
+    sps, state, cmg, win_w = _measure_cm(pg, pmeans, pcfg, psweeps, True)
     est = np.asarray(sweep_cm.to_gbp_state(cmg, state).v[0].mean)
-    ate = float(pose_graph.ate(est, psim["truth"]))
-    assert np.isfinite(ate), "non-finite ATE"
+    ate_end = float(pose_graph.ate(est, psim["truth"]))
+    assert np.isfinite(ate_end), "non-finite ATE"
+
+    # Quality target: full-system PCG Gauss-Newton MAP on the same graph
+    # (the same-block analogue of bench.py's Schur-GN target); convergence
+    # wall-clock = first 25-sweep chunk with ATE <= 1.05x ATE(GN).
+    # cg_iters must cover the graph's effective diameter (block-Jacobi PCG
+    # on chain-like graphs moves information ~1 pose/iteration between loop
+    # closures); measured at 500 poses: 150 iters leaves ATE 4.9x off,
+    # >=1000 converges, f32-on-chip == f64-on-CPU to 4 decimals.
+    t0 = time.time()
+    mu = schur.solve_pcg(pg, pmeans, n_steps=8,
+                         cg_iters=max(1000, args.poses // 2))
+    ate_gn = float(pose_graph.ate(np.asarray(mu[0]), psim["truth"]))
+    t_gn = time.time() - t0
+    print(f"[bigscene] pose-graph GN target: ATE {ate_gn:.4f} "
+          f"({t_gn:.1f}s, not counted)", flush=True)
+    target = 1.05 * ate_gn
+
+    chunk = 25
+    runj = jax.jit(sweep_cm.run, static_argnums=3)
+    st = sweep_cm.init_state(cmg, pmeans)
+    runj(cmg, st, pcfg, chunk).v[0].mean.block_until_ready()  # warm compile
+    st = sweep_cm.init_state(cmg, pmeans)
+    t_conv, conv_sweeps, traj = None, None, []
+    t0 = time.time()
+    for i in range(80):
+        st = runj(cmg, st, pcfg, chunk)
+        st.v[0].mean.block_until_ready()
+        t_i = time.time() - t0
+        a = float(pose_graph.ate(
+            np.asarray(sweep_cm.to_gbp_state(cmg, st).v[0].mean),
+            psim["truth"]))
+        traj.append(round(a, 4))
+        if t_conv is None and a <= target:
+            t_conv, conv_sweeps = t_i, (i + 1) * chunk
+            break
+
     out["results"]["pose_graph_cm"] = {
         "n_poses": args.poses, "n_factors": int(pm),
-        "sweeps_per_s": round(sps, 2),
-        "factor_updates_per_s": round(sps * pm),
-        "ate": round(ate, 4), "win_w": win_w,
+        "sweeps_per_s": sps["median"],
+        "sweeps_per_s_min_max": [sps["min"], sps["max"]],
+        "sweeps_per_rep": sps["sweeps_per_rep"],
+        "factor_updates_per_s": round(sps["median"] * pm),
+        "ate_gn_target": round(ate_gn, 4),
+        "ate_at_end_of_timing": round(ate_end, 4),
+        "wall_clock_to_1.05x_gn_ate_s": None if t_conv is None
+        else round(t_conv, 3),
+        "sweeps_to_1.05x_gn_ate": conv_sweeps,
+        "ate_per_25_sweeps": traj[:12],
+        "win_w": win_w,
     }
+    if t_conv is None:
+        out["results"]["pose_graph_cm"]["note"] = (
+            "did not reach 1.05x GN ATE within 2000 sweeps; trajectory in "
+            "ate_per_25_sweeps — treat sweeps_per_s as throughput-only")
     print(f"[bigscene] pose graph ({args.poses} poses, {pm} factors): "
-          f"{sps:.2f} sweeps/s, ATE {ate:.3f}"
-          + (f", win_w={win_w}" if win_w else ""))
+          f"{sps['median']:.2f} sweeps/s [{sps['min']:.2f}, {sps['max']:.2f}]"
+          + (f", win_w={win_w}" if win_w else "")
+          + (f"; ATE<=1.05x GN at sweep {conv_sweeps} ({t_conv:.3f}s wall)"
+             if t_conv is not None else
+             f"; NOT converged to {target:.3f} in 2000 sweeps"), flush=True)
 
     path = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "artifacts", "bigscene_tpu_r4.json")
+                                    "artifacts", "bigscene_tpu_r5.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[bigscene] wrote {path}")

@@ -224,6 +224,17 @@ def profile_scene(graph, means, cfg, window, iters, ell_fused=None):
                + res["tabprep_ms"])
     res["other_ms"] = res["full_ms"] - kernels  # beliefs + solves + glue
     res["ns_per_factor"] = res["full_ms"] * 1e6 / m
+    if abs(res["other_ms"]) > 0.10 * res["full_ms"]:
+        # Isolated stage loops overstate costs that fuse away in context
+        # (docs/PERFORMANCE.md lesson 5); when the stage sum disagrees with
+        # the full sweep by >10% the per-stage numbers are only usable as
+        # RELATIVE comparisons, and the artifact must say so (VERDICT r4
+        # weak #5).
+        res["note"] = (
+            "stage sum deviates from full sweep by "
+            f"{res['other_ms'] / res['full_ms']:+.0%}; isolated stage "
+            "timings overstate costs that fuse away in context — treat "
+            "per-stage numbers as relative comparisons only")
     return res
 
 

@@ -184,8 +184,13 @@ def _cm2rm(a: jnp.ndarray, m: int) -> jnp.ndarray:
 
 def prepare(graph: Graph, gather_mode: str = "auto",
             segsum_exact: bool = False, window: bool = True,
-            ell_fused: bool | None = None) -> CMGraph | None:
+            ell_fused: bool | None = None, segment: bool = False):
     """Build the CM static data for `graph`, or None if ineligible.
+
+    segment=True additionally tries the degree-class-segmented layout
+    (`prepare_seg` — no ELL pad rows; returns a CMSegGraph that rides the
+    same init_state/run/sweep/to_gbp_state entry points), falling back to
+    the single-segment CMGraph when ineligible or not worth it.
 
     gather_mode "auto" picks 'table' (in-kernel VMEM belief table, the fast
     path — measured ~1.8x over 'rows' at 470k factors) when the packed
@@ -197,6 +202,11 @@ def prepare(graph: Graph, gather_mode: str = "auto",
     faster at every deg on chip); pass False to keep the standalone
     expansion (A/B benchmarking, the pre-fusion artifact path)."""
     from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    if segment:
+        sg = prepare_seg(graph, segsum_exact=segsum_exact, window=window)
+        if sg is not None:
+            return sg
 
     if len(graph.fblocks) != 1:
         return None
@@ -877,3 +887,581 @@ def to_gbp_state(cmg: CMGraph, state: CMState) -> GBPState:
             eta=vs.eta[cmg.vinv], lam=vs.lam[cmg.vinv],
             mean=vs.mean[cmg.vinv])
     return GBPState(v=tuple(vstates), f=(fstate,))
+
+
+# ---------------------------------------------------------------------------
+# Degree-class segmentation (round 5): the ELL pad-row attack.
+#
+# The ELL layout pads every landmark group to the GLOBAL max degree, which
+# at city scale costs 1.23x pad rows (450,846 rows / 366,973 valid factors
+# at deg-6 padding — VERDICT r4 "what's weak" #7).  Here the factor block is
+# split into SEGMENTS, one per exact landmark degree (tiny classes merged
+# upward), each a separate dispatch of the SAME fused table kernels with its
+# own static deg / camera windows / ELL group windows — group padding
+# disappears entirely (only per-segment TILE alignment remains).  Camera
+# windows stay narrow because at city scale the per-tile group span is far
+# below the 128-lane window floor in every class.
+#
+# Scope: the fully-fused fast path only (gather_mode='table' + ell_fused),
+# different-variable-block graphs (BA-class; the ELL block is relabeled by
+# (class, locality) — same vperm machinery as the locality sort).  Schedule
+# masks, halo sharding, and same-block pose graphs stay on the
+# single-segment CMGraph.
+# ---------------------------------------------------------------------------
+
+
+class CMSegPart(flax.struct.PyTreeNode):
+    """Static + per-row data for one degree-class segment."""
+
+    z: jnp.ndarray  # [z, T_s, LANE]
+    prec: jnp.ndarray
+    args: jnp.ndarray | None
+    act: jnp.ndarray
+    gidx_cm: jnp.ndarray
+    rows: jnp.ndarray  # [mp_s] int32 fb-row indices (edge-padded)
+    ell_starts: jnp.ndarray  # [n_tiles] int32 SEGMENT-LOCAL group starts
+    ell_row0s: jnp.ndarray  # [n_tiles] int32 segment-local i * TILE
+    win_starts: jnp.ndarray | None  # [n_tiles] int32 camera-window starts
+    deg: int = flax.struct.field(pytree_node=False, default=0)
+    mp: int = flax.struct.field(pytree_node=False, default=0)
+    nv: int = flax.struct.field(pytree_node=False, default=0)
+    n_groups: int = flax.struct.field(pytree_node=False, default=0)
+    v0: int = flax.struct.field(pytree_node=False, default=0)  # global var base
+    m: int = flax.struct.field(pytree_node=False, default=0)  # rows before pad
+    ell_w2: int = flax.struct.field(pytree_node=False, default=0)
+    win_w: int = flax.struct.field(pytree_node=False, default=0)
+    # GLOBAL slice starts for the shared tables (host-static tuples).
+    ell_starts_t: tuple = flax.struct.field(pytree_node=False, default=None)
+    win_starts_t: tuple | None = flax.struct.field(
+        pytree_node=False, default=None)
+
+
+class CMSegGraph(flax.struct.PyTreeNode):
+    """Static per-graph data for the degree-class-segmented CM sweep."""
+
+    base: Graph
+    parts: tuple  # tuple[CMSegPart]
+    vperm: jnp.ndarray  # [n_e] int32 sorted id -> user id
+    vinv: jnp.ndarray  # [n_e] int32 user id -> sorted id
+    # to_gbp_state maps: concat-CM-row index per fb row (clone rows point at
+    # their group's rank-0 row) — see `to_gbp_state_seg`.
+    inv_map: jnp.ndarray  # [fb.count] int32
+    nvp_glob: int = flax.struct.field(pytree_node=False, default=0)
+    ncp: int = flax.struct.field(pytree_node=False, default=0)
+    win_ncpad: int = flax.struct.field(pytree_node=False, default=0)
+    segsum_exact: bool = flax.struct.field(pytree_node=False, default=False)
+
+    @property
+    def fb(self):
+        return self.base.fblocks[0]
+
+    @property
+    def mp(self):  # diagnostic: total CM rows across segments
+        return sum(p.mp for p in self.parts)
+
+
+def prepare_seg(graph: Graph, segsum_exact: bool = False,
+                window: bool = True, merge_min_rows: int = 4 * TILE,
+                min_saving: float = 0.03,
+                classes_mode: str = "auto") -> CMSegGraph | None:
+    """Build the degree-class-segmented CM data, or None if ineligible /
+    not worth it (single class, or pad-row saving below `min_saving`).
+
+    classes_mode: "auto" partitions degrees by the alignment-aware DP
+    below; "exact" forces one class per distinct degree and skips the worth-it
+    gates (tests / A-B benchmarking only — exact classes measured 24%
+    SLOWER than single-segment on the bench64 arc scene, where lcm(TILE,
+    deg) alignment of the many high-degree classes outweighs the pad rows
+    they save)."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+
+    if len(graph.fblocks) != 1:
+        return None
+    fb = graph.fblocks[0]
+    entry = COMP_FACTORS.get(fb.ftype.name)
+    if (
+        len(fb.dofs) != 2
+        or fb.ell_slot is None
+        or entry is None
+        or (fb.ftype.residual_fn is not None and len(entry) < 3)
+        or fb.prec.ndim != 2
+        or fb.vblocks[fb.ell_slot] == fb.vblocks[1 - fb.ell_slot]
+    ):
+        return None
+    e = fb.ell_slot
+    g = 1 - e
+    d_max = fb.ell_deg
+    n_e = graph.vblocks[fb.vblocks[e]].count
+    if fb.count != n_e * d_max:
+        return None
+    d_g = fb.dofs[g]
+    n_g = graph.vblocks[fb.vblocks[g]].count
+    ncp = ((n_g + LANE - 1) // LANE) * LANE
+    if (2 * d_g + d_g * d_g) * ncp * 4 > 4 * 1024 * 1024:
+        return None  # camera table must fit kernel VMEM ('table' mode gate)
+
+    valid = fb.valid
+    if valid is None:
+        return None  # no padding anywhere -> single class, nothing to win
+    valid_np = np.asarray(valid).reshape(n_e, d_max)
+    degv = valid_np.sum(1).astype(np.int64)  # per-group real degree
+    if degv.min() < 1:
+        return None  # empty groups: keep the single-segment path
+    gidx_np = np.asarray(fb.adj[g], dtype=np.int32)
+
+    # --- degree classes by DP over contiguous degree ranges (descending).
+    # A class covering degrees (d_lo..d_hi] pads every member group to
+    # d_hi (clone rows from the ELL build fill the gap, so merging never
+    # drops a row) and its REAL cost includes the lcm(TILE, d_hi) row
+    # alignment — which is enormous for degrees like 63 (lcm 64512), so a
+    # greedy exact-degree split can PAY MORE in alignment than it saves in
+    # pad rows (measured: bench64 arc scene 512k -> 745k rows, -24%
+    # throughput).  `merge_min_rows` acts as a per-class dispatch penalty
+    # (extra kernel launches + combine) in row units.
+    distinct = np.unique(degv)[::-1]  # descending
+    cnts = {int(d): int((degv == d).sum()) for d in distinct}
+    K = len(distinct)
+
+    def cls_cost(i, j):
+        """Rows cost of one class covering distinct[i..j] padded to
+        distinct[i] (ell fusion needs deg >= 2)."""
+        c = max(int(distinct[i]), 2)
+        groups = sum(cnts[int(distinct[k])] for k in range(i, j + 1))
+        lcm_c = TILE * c // math.gcd(TILE, c)
+        rows = groups * c
+        return ((rows + lcm_c - 1) // lcm_c) * lcm_c
+
+    if classes_mode == "exact":
+        bounds = [(i, i) for i in range(K)]
+    else:
+        best = [0.0] * (K + 1)
+        choice = [0] * (K + 1)
+        for j in range(K):
+            b = None
+            for i in range(j + 1):
+                v = best[i] + cls_cost(i, j) + merge_min_rows
+                if b is None or v < b:
+                    b, choice[j + 1] = v, i
+            best[j + 1] = b
+        bounds = []
+        j = K
+        while j > 0:
+            i = choice[j]
+            bounds.append((i, j - 1))
+            j = i
+        bounds.reverse()
+    classes = []  # list of (class_deg, group_mask)
+    for i, j in bounds:
+        c = max(int(distinct[i]), 2)
+        mask = np.isin(degv, distinct[i : j + 1])
+        classes.append((c, mask))
+    if len(classes) < 2:
+        return None
+    if classes_mode != "exact":
+        rows_seg = sum(cls_cost(i, j) for i, j in bounds)
+        lcm_max = TILE * d_max // math.gcd(TILE, d_max)
+        mp_single = ((fb.count + lcm_max - 1) // lcm_max) * lcm_max
+        if rows_seg > (1.0 - min_saving) * mp_single:
+            return None  # saving too small for the extra dispatches
+
+    dt = fb.z.dtype
+    act_np = np.asarray(valid, dtype=np.float64)
+    prec_host = fb.prec if fb.huber_arr is None else jnp.concatenate(
+        [fb.prec, fb.huber_arr[:, None].astype(fb.prec.dtype)], axis=1)
+    n_args = COMP_FACTORS[fb.ftype.name][1]
+    fargs = fb.args if (fb.args is not None and n_args) else None
+
+    gmin = np.full(n_e, 2**30, dtype=np.int64)
+    gv = gidx_np.reshape(n_e, d_max)
+    for r in range(d_max):
+        sel = valid_np[:, r]
+        gmin[sel] = np.minimum(gmin[sel], gv[sel, r])
+
+    ncpad_w = ((n_g + SUB - 1) // SUB) * SUB
+    win_ok = window and (ncpad_w * LANE * 4 <= 6 * 1024 * 1024)
+
+    parts = []
+    order_parts = []
+    v0 = 0
+    concat_base = 0
+    inv_map = np.zeros(n_e * d_max, dtype=np.int64)
+    nvp_glob_need = n_e
+    for c, mask in classes:
+        gids = np.flatnonzero(mask)
+        # class-local locality sort by min gathered id (narrow windows)
+        gids = gids[np.argsort(gmin[gids], kind="stable")]
+        order_parts.append(gids)
+        ng = gids.size
+        seg_rows = (gids[:, None] * d_max + np.arange(c)).reshape(-1)
+        m_s = seg_rows.size  # == ng * c
+        lcm = TILE * c // math.gcd(TILE, c)
+        mp_s = ((m_s + lcm - 1) // lcm) * lcm
+        pad = mp_s - m_s
+        rows_p = np.pad(seg_rows, (0, pad), mode="edge")
+        nv_s = mp_s // c
+        n_tiles = mp_s // TILE
+
+        # inv_map: real rows -> their concat position; clone rows (ranks
+        # >= c for merged-up groups, plus all dropped d_max clones) -> the
+        # group's rank-0 concat position.
+        pos = concat_base + np.arange(m_s)
+        inv_map[seg_rows] = pos
+        rank0 = pos.reshape(ng, c)[:, 0]
+        for r in range(c, d_max):
+            inv_map[gids * d_max + r] = rank0
+
+        # ELL group windows (segment-local starts for the kernel, global
+        # slice starts for the shared sorted table).
+        w2 = ((TILE // c + 2) + SUB + LANE - 1) // LANE * LANE
+        st2 = (np.arange(n_tiles) * TILE // c) // SUB * SUB
+        st2 = np.minimum(st2, np.maximum(nv_s - w2, 0))
+        grp = np.arange(mp_s) // c
+        tl = grp.reshape(-1, TILE)
+        assert (tl.min(1) >= st2).all() and (tl.max(1) < st2 + w2).all()
+        nvp_glob_need = max(nvp_glob_need, v0 + int(st2.max()) + w2)
+
+        # camera windows per segment
+        gseg = gidx_np[rows_p]
+        win_starts = None
+        win_starts_t = None
+        win_w = 0
+        if win_ok:
+            tiles = gseg.reshape(-1, TILE)
+            mins, maxs = tiles.min(1), tiles.max(1)
+            w = (int((maxs - mins).max()) + 1 + SUB + LANE - 1) // LANE * LANE
+            if 2 * w <= ncpad_w:
+                starts = np.maximum(
+                    np.minimum(mins, ncpad_w - w), 0) // SUB * SUB
+                assert (maxs < starts + w).all() and (mins >= starts).all()
+                win_starts = jnp.asarray(starts, jnp.int32)
+                win_starts_t = tuple(int(s) for s in starts)
+                win_w = int(w)
+
+        to_cm = lambda a: _rm2cm(
+            jnp.asarray(a)[rows_p] if a.ndim == 2
+            else jnp.asarray(a)[rows_p][:, None])
+        parts.append(CMSegPart(
+            z=to_cm(fb.z),
+            prec=to_cm(prec_host),
+            args=None if fargs is None else to_cm(fargs.reshape(fb.count, -1)),
+            act=_rm2cm(jnp.asarray(
+                np.where(np.arange(mp_s) < m_s, act_np[rows_p], 0.0),
+                dtype=dt)[:, None]),
+            gidx_cm=_rm2cm(jnp.asarray(gseg)[:, None]).astype(jnp.int32),
+            rows=jnp.asarray(rows_p, jnp.int32),
+            ell_starts=jnp.asarray(st2, jnp.int32),
+            ell_row0s=jnp.asarray(np.arange(n_tiles) * TILE, jnp.int32),
+            win_starts=win_starts,
+            deg=int(c), mp=int(mp_s), nv=int(nv_s), n_groups=int(ng),
+            v0=int(v0), m=int(m_s), ell_w2=int(w2), win_w=win_w,
+            ell_starts_t=tuple(int(v0 + s) for s in st2),
+            win_starts_t=win_starts_t,
+        ))
+        v0 += ng
+        concat_base += m_s
+    assert v0 == n_e, (v0, n_e)
+
+    order = np.concatenate(order_parts)
+    vperm = jnp.asarray(order, jnp.int32)
+    vinv = jnp.asarray(np.argsort(order), jnp.int32)
+    # Relabel the ELL variable block to the (class, locality) order so the
+    # resident beliefs need no per-sweep permute (same mechanism as the
+    # single-segment locality sort: CMGraph.vperm).
+    vbs = list(graph.vblocks)
+    vb_e_blk = vbs[fb.vblocks[e]]
+    vbs[fb.vblocks[e]] = vb_e_blk.replace(
+        prior_eta=vb_e_blk.prior_eta[vperm],
+        prior_lam=vb_e_blk.prior_lam[vperm])
+    graph = graph.replace(vblocks=tuple(vbs))
+
+    # inv_map was built in USER group order on the fb rows — but seg_rows
+    # index fb rows directly, so it is already consistent.  The gidx and
+    # per-row data above were likewise gathered straight from fb rows.
+    return CMSegGraph(
+        base=graph, parts=tuple(parts), vperm=vperm, vinv=vinv,
+        inv_map=jnp.asarray(inv_map, jnp.int32),
+        nvp_glob=int(((nvp_glob_need + SUB - 1) // SUB) * SUB),
+        ncp=int(ncp), win_ncpad=int(ncpad_w), segsum_exact=segsum_exact,
+    )
+
+
+def _seg_to_cm(part: CMSegPart, a: jnp.ndarray) -> jnp.ndarray:
+    """fb-row array -> this segment's CM layout, ZERO-padded (padded rows
+    must carry zero messages / inert factor state — same invariant as the
+    single-segment path; only the static operands built in prepare_seg use
+    edge padding, which keeps their math finite)."""
+    rows = a[part.rows[: part.m]]
+    if rows.ndim == 1:
+        rows = rows[:, None]
+    return _rm2cm(jnp.pad(rows, ((0, part.mp - part.m), (0, 0))))
+
+
+@jax.jit
+@f32_exact
+def init_state_seg(sg: CMSegGraph, means: tuple) -> CMState:
+    """Seg-path analogue of `init_state` (beliefs = priors, factors
+    linearized at user-order `means`, zero messages)."""
+    graph = sg.base
+    fb = sg.fb
+    vmeans = list(means)
+    e_blk = fb.vblocks[fb.ell_slot]
+    vmeans[e_blk] = vmeans[e_blk][sg.vperm]
+    vstates = tuple(
+        VariableState(eta=vb.prior_eta, lam=vb.prior_lam, mean=mu)
+        for vb, mu in zip(graph.vblocks, vmeans)
+    )
+    x = jnp.concatenate(
+        [means[vb][fb.adj[k]] for k, vb in enumerate(fb.vblocks)], axis=-1
+    )
+    jac, r0 = sweep_mod.linearize_block(fb, x)
+    m = fb.count
+    fstates = []
+    for p in sg.parts:
+        zeros = lambda f: jnp.zeros((f, p.mp // LANE, LANE), jac.dtype)
+        fstates.append(CMFactorState(
+            lp=_seg_to_cm(p, x),
+            jac=_seg_to_cm(p, jac.reshape(m, -1)),
+            r0=_seg_to_cm(p, r0),
+            srel=zeros(1),
+            msg_eta=tuple(zeros(d) for d in fb.dofs),
+            msg_lam=tuple(zeros(d * d) for d in fb.dofs),
+        ))
+    return CMState(v=vstates, f=tuple(fstates))
+
+
+def _seg_tables(sg: CMSegGraph, vs_e: VariableState, vs_g: VariableState):
+    """Shared belief tables for one seg sweep: the padded transposed ELL
+    table (sliced per part by GLOBAL ell starts), the padded transposed
+    camera table for windowed parts, and the full camera table for
+    unwindowed parts."""
+    from gbp_tpu.gaussians import packed_identity_row
+
+    pk_e = _pack_beliefs(vs_e)
+    n_e = pk_e.shape[0]
+    if sg.nvp_glob > n_e:
+        pad_row = packed_identity_row(vs_e.eta.shape[1], pk_e.dtype)
+        pk_e = jnp.concatenate(
+            [pk_e, jnp.tile(pad_row[None, :], (sg.nvp_glob - n_e, 1))])
+    pkT_e = jnp.swapaxes(pk_e, 0, 1)
+
+    pk_g = _pack_beliefs(vs_g)
+    tabT_g = None
+    if any(p.win_w for p in sg.parts):
+        tabT_g = jnp.swapaxes(
+            jnp.pad(pk_g, ((0, sg.win_ncpad - pk_g.shape[0]), (0, 0))), 0, 1)
+    tab_full = None
+    if any(p.win_w == 0 for p in sg.parts):
+        tab_full = jnp.swapaxes(
+            jnp.pad(pk_g, ((0, sg.ncp - pk_g.shape[0]), (0, 0))), 0, 1)
+    return pkT_e, tabT_g, tab_full
+
+
+@f32_exact
+def sweep_seg(sg: CMSegGraph, state: CMState, cfg: GBPConfig) -> CMState:
+    """One synchronous sweep on the degree-class-segmented fast path:
+    factor-side kernels dispatched per segment (same fused table kernels,
+    per-segment static deg/windows), belief updates combined globally."""
+    from gbp_tpu.ops.comp_factors import COMP_FACTORS
+    from gbp_tpu.ops.messages_pallas import (
+        fused_messages_cm_tab_ell,
+        fused_messages_cm_tabblk_ell,
+        fused_relin_cm_tab_ell,
+        fused_relin_cm_tabblk_ell,
+    )
+
+    fb = sg.fb
+    e = fb.ell_slot
+    g = 1 - e
+    d0, d1 = fb.dofs
+    d_e, d_g = fb.dofs[e], fb.dofs[g]
+    f_g = d_g + d_g * d_g
+    zdim = fb.z.shape[-1]
+    dt = state.f[0].r0.dtype
+    params = sweep_mod._kernel_params(cfg, dt)
+    interp = _interpret()
+    n_args = COMP_FACTORS[fb.ftype.name][1]
+    huber = "row" if fb.huber_arr is not None else fb.huber
+    sum_exact = sg.segsum_exact or dt != jnp.float32
+
+    vs_e = state.v[fb.vblocks[e]]
+    vs_g = state.v[fb.vblocks[g]]
+    vb_e = sg.base.vblocks[fb.vblocks[e]]
+    vb_g = sg.base.vblocks[fb.vblocks[g]]
+    n_e, n_g = vb_e.count, vb_g.count
+    pkT_e, tabT_g, tab_full = _seg_tables(sg, vs_e, vs_g)
+
+    new_f = []
+    sum_e_parts = []
+    sum_g = jnp.zeros((f_g, n_g), dt)
+    for p, fs in zip(sg.parts, state.f):
+        ltab = _start_slices(pkT_e, None, p.ell_starts_t, p.ell_w2)
+        lbtab, lmtab = ltab[:, : d_e + d_e * d_e], ltab[:, d_e + d_e * d_e:]
+        if p.win_w:
+            wtab = _start_slices(tabT_g, p.win_starts, p.win_starts_t,
+                                 p.win_w)
+            bwtab, mwtab = wtab[:, :f_g], wtab[:, f_g:]
+            lp, jac, r0, srel = fused_relin_cm_tabblk_ell(
+                params, p.ell_starts, p.win_starts, lmtab, mwtab,
+                p.gidx_cm, p.z, p.args, fs.lp, fs.jac, fs.r0, fs.srel,
+                p.act, d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                n_args=n_args, gslot=g, win_w=p.win_w, deg=p.deg,
+                ell_w2=p.ell_w2, interpret=interp,
+            )
+            oe0, ol0, oe1, ol1, gpart = fused_messages_cm_tabblk_ell(
+                params, p.ell_starts, p.win_starts, jac, lp, r0,
+                p.prec, srel, p.act, lbtab, bwtab, p.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
+                gslot=g, win_w=p.win_w, deg=p.deg, ell_w2=p.ell_w2,
+                exact=sum_exact, interpret=interp,
+            )
+            # Cross-tile combine of the folded windowed partials (same XLA
+            # segment_sum tail as the single-segment path).
+            n_tiles = p.mp // TILE
+            ids = (p.win_starts[:, None]
+                   + jnp.arange(p.win_w, dtype=p.win_starts.dtype)).reshape(-1)
+            rows = jnp.swapaxes(gpart, 1, 2).reshape(n_tiles * p.win_w, f_g)
+            sum_g = sum_g + jnp.swapaxes(
+                jax.ops.segment_sum(rows, ids,
+                                    num_segments=n_g + p.win_w)[:n_g], 0, 1)
+        else:
+            btab = tab_full[: f_g]
+            mtab = tab_full[f_g:]
+            lp, jac, r0, srel = fused_relin_cm_tab_ell(
+                params, p.ell_starts, lmtab, mtab, p.gidx_cm, p.z,
+                p.args, fs.lp, fs.jac, fs.r0, fs.srel, p.act,
+                d0=d0, d1=d1, z=zdim, comp_name=fb.ftype.name,
+                n_args=n_args, gslot=g, deg=p.deg, ell_w2=p.ell_w2,
+                interpret=interp,
+            )
+            oe0, ol0, oe1, ol1, gpart = fused_messages_cm_tab_ell(
+                params, p.ell_starts, jac, lp, r0, p.prec, srel,
+                p.act, lbtab, btab, p.gidx_cm,
+                fs.msg_eta[0], fs.msg_lam[0], fs.msg_eta[1], fs.msg_lam[1],
+                d0=d0, d1=d1, z=zdim, prec_full=False, huber=huber,
+                gslot=g, deg=p.deg, ell_w2=p.ell_w2, exact=sum_exact,
+                interpret=interp,
+            )
+            sum_g = sum_g + gpart[:, :n_g]
+        new_f.append(CMFactorState(
+            lp=lp, jac=jac, r0=r0, srel=srel,
+            msg_eta=(oe0, oe1), msg_lam=(ol0, ol1)))
+        me_e = oe0 if e == 0 else oe1
+        ml_e = ol0 if e == 0 else ol1
+        sum_e_parts.append(jnp.concatenate([
+            me_e.reshape(d_e, p.nv, p.deg).sum(-1),
+            ml_e.reshape(d_e * d_e, p.nv, p.deg).sum(-1),
+        ])[:, : p.n_groups])
+    sum_e = jnp.concatenate(sum_e_parts, axis=1)
+
+    new_v = list(state.v)
+    eta_e = vb_e.prior_eta + jnp.swapaxes(sum_e[:d_e], 0, 1)
+    lam_e = vb_e.prior_lam + jnp.swapaxes(
+        sum_e[d_e:], 0, 1).reshape(n_e, d_e, d_e)
+    new_v[fb.vblocks[e]] = VariableState(
+        eta=eta_e, lam=lam_e, mean=scaled_sym_solve(lam_e, eta_e))
+    eta_g = vb_g.prior_eta + jnp.swapaxes(sum_g[:d_g], 0, 1)
+    lam_g = vb_g.prior_lam + jnp.swapaxes(
+        sum_g[d_g:], 0, 1).reshape(n_g, d_g, d_g)
+    new_v[fb.vblocks[g]] = VariableState(
+        eta=eta_g, lam=lam_g, mean=scaled_sym_solve(lam_g, eta_g))
+    return CMState(v=tuple(new_v), f=tuple(new_f))
+
+
+@jax.jit
+def to_gbp_state_seg(sg: CMSegGraph, state: CMState) -> GBPState:
+    """Seg-path analogue of `to_gbp_state`: clone rows (ranks above their
+    group's class degree) take their group's rank-0 values — which is
+    exactly what the ELL build put there — except messages, which stay zero
+    (fb.valid invariant)."""
+    fb = sg.fb
+    m = fb.count
+    t = fb.tdof
+    z = fb.z.shape[-1]
+    cat = lambda field: jnp.concatenate(
+        [_cm2rm(field(fs), p.m) for p, fs in zip(sg.parts, state.f)]
+    )[sg.inv_map]
+    msg_mask = fb.valid[:, None]
+    fstate = sweep_mod.FactorState(
+        linpoint=cat(lambda fs: fs.lp),
+        jac=cat(lambda fs: fs.jac).reshape(m, z, t),
+        r0=cat(lambda fs: fs.r0),
+        msg_eta=tuple(
+            jnp.where(msg_mask, cat(lambda fs, k=k: fs.msg_eta[k]), 0.0)
+            for k in range(2)),
+        msg_lam=tuple(
+            jnp.where(msg_mask, cat(lambda fs, k=k: fs.msg_lam[k]), 0.0)
+            .reshape(m, d, d) for k, d in enumerate(fb.dofs)),
+        since_relin=cat(lambda fs: fs.srel).reshape(m).astype(jnp.int32),
+    )
+    vstates = list(state.v)
+    e_blk = fb.vblocks[fb.ell_slot]
+    vs = vstates[e_blk]
+    vstates[e_blk] = VariableState(
+        eta=vs.eta[sg.vinv], lam=vs.lam[sg.vinv], mean=vs.mean[sg.vinv])
+    return GBPState(v=tuple(vstates), f=(fstate,))
+
+
+@jax.jit
+def from_gbp_state_seg(sg: CMSegGraph, state: GBPState) -> CMState:
+    fb = sg.fb
+    m = fb.count
+    fs = state.f[0]
+    fstates = []
+    for p in sg.parts:
+        fstates.append(CMFactorState(
+            lp=_seg_to_cm(p, fs.linpoint),
+            jac=_seg_to_cm(p, fs.jac.reshape(m, -1)),
+            r0=_seg_to_cm(p, fs.r0),
+            srel=_seg_to_cm(p, fs.since_relin.astype(fs.r0.dtype)),
+            msg_eta=tuple(_seg_to_cm(p, me) for me in fs.msg_eta),
+            msg_lam=tuple(
+                _seg_to_cm(p, ml.reshape(m, -1)) for ml in fs.msg_lam),
+        ))
+    vstates = list(state.v)
+    e_blk = fb.vblocks[fb.ell_slot]
+    vs = vstates[e_blk]
+    vstates[e_blk] = VariableState(
+        eta=vs.eta[sg.vperm], lam=vs.lam[sg.vperm], mean=vs.mean[sg.vperm])
+    return CMState(v=tuple(vstates), f=tuple(fstates))
+
+
+# --- public dispatchers: the seg types ride the same entry points ---------
+_sweep_cm_single = sweep
+_run_cm_single = run
+_init_state_single = init_state
+_to_gbp_state_single = to_gbp_state
+_from_gbp_state_single = from_gbp_state
+
+
+def sweep(cmg, state, cfg, active=None):  # noqa: F811
+    if isinstance(cmg, CMSegGraph):
+        assert active is None, "schedule masks: use the single-segment path"
+        return sweep_seg(cmg, state, cfg)
+    return _sweep_cm_single(cmg, state, cfg, active)
+
+
+@f32_exact
+def run(cmg, state, cfg: GBPConfig, n_iters: int):  # noqa: F811
+    def body(_, s):
+        return sweep(cmg, s, cfg)
+
+    return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+def init_state(cmg, means):  # noqa: F811
+    if isinstance(cmg, CMSegGraph):
+        return init_state_seg(cmg, means)
+    return _init_state_single(cmg, means)
+
+
+def to_gbp_state(cmg, state):  # noqa: F811
+    if isinstance(cmg, CMSegGraph):
+        return to_gbp_state_seg(cmg, state)
+    return _to_gbp_state_single(cmg, state)
+
+
+def from_gbp_state(cmg, state):  # noqa: F811
+    if isinstance(cmg, CMSegGraph):
+        return from_gbp_state_seg(cmg, state)
+    return _from_gbp_state_single(cmg, state)

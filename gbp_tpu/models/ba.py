@@ -149,9 +149,13 @@ def simulate_corridor(
     up = np.cross(fwd, right)
     r_wc = np.stack([right, up, fwd], axis=1)
     r = r_wc.T
+    # One so3_log for all cameras (shared rotation): a per-camera jnp call
+    # here costs one device dispatch each — ~0.1 s over the axon tunnel,
+    # i.e. MINUTES of scene build at city scale before hoisting.
+    w = np.asarray(so3_log(jnp.asarray(r)))
     for i in range(n_cams):
         c = np.array([i * step, 0.0, 0.0])
-        cams[i, :3] = np.asarray(so3_log(jnp.asarray(r)))
+        cams[i, :3] = w
         cams[i, 3:] = -r @ c
 
     # Landmarks on the wall, spread along the corridor.

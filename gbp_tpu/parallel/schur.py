@@ -164,3 +164,104 @@ def solve(graph: Graph, means: tuple, n_steps: int = 5, fi: int = 0,
                                   lmk_vi=lmk_vi, cg_iters=cg_iters,
                                   lm_damping=lm_damping)
     return means
+
+
+@functools.partial(jax.jit, static_argnames=("fi", "cg_iters", "lm_damping"))
+@f32_exact
+def gauss_newton_step_pcg(graph: Graph, means: tuple, fi: int = 0,
+                          cg_iters: int = 100, lm_damping: float = 0.0):
+    """One Gauss-Newton step by block-Jacobi PCG on the FULL normal equations.
+
+    Works for any 2-slot factor block — in particular same-variable-block
+    pose graphs, where the camera/landmark Schur elimination above does not
+    apply.  This is the MAP quality target for the pose-graph benchmarks
+    (the GBP trajectory must converge to the same fixed point; reference
+    analogue: the dense `joint_distribution_inf` oracle, SURVEY.md §3.4,
+    which this matvec form scales far beyond).  Returns the new means tuple.
+    """
+    fb = graph.fblocks[fi]
+    offs = fb.offsets
+
+    x = jnp.concatenate([means[vb][fb.adj[k]] for k, vb in enumerate(fb.vblocks)],
+                        axis=-1)
+    jac, r0 = linearize_block(fb, x)
+    if fb.valid is not None:
+        jac = jnp.where(fb.valid[:, None, None], jac, 0.0)
+        r0 = jnp.where(fb.valid[:, None], r0, 0.0)
+    w = huber_weight(fb, r0)
+
+    def wmul(u):  # Lam_meas-weighted residual-space product [m, z]
+        if fb.prec.ndim == 2:
+            return u * fb.prec * w[:, None]
+        return bmv(fb.prec, u) * w[:, None]
+
+    js = [jac[:, :, o:o + d] for o, d in zip(offs, fb.dofs)]
+    segs = [functools.partial(jax.ops.segment_sum, segment_ids=fb.adj[k],
+                              num_segments=graph.vblocks[vb].count)
+            for k, vb in enumerate(fb.vblocks)]
+
+    # rhs b = J^T W r0 + prior pull (per variable block, summed over slots).
+    rhs = [_prior_terms(vb, mu)[1] for vb, mu in zip(graph.vblocks, means)]
+    wr = wmul(r0)
+    for k, vb in enumerate(fb.vblocks):
+        rhs[vb] = rhs[vb] + segs[k](bmv(bT(js[k]), wr))
+
+    def h_matvec(v):
+        u = sum(bmv(js[k], v[vb][fb.adj[k]]) for k, vb in enumerate(fb.vblocks))
+        wu = wmul(u)
+        out = [bmv(vb.prior_lam, vk) + (lm_damping * vk if lm_damping else 0.0)
+               for vb, vk in zip(graph.vblocks, v)]
+        for k, vb in enumerate(fb.vblocks):
+            out[vb] = out[vb] + segs[k](bmv(bT(js[k]), wu))
+        return tuple(out)
+
+    # Block-Jacobi preconditioner: per-variable diagonal blocks of H.
+    pinv = []
+    for vi, vb in enumerate(graph.vblocks):
+        d = vb.dof
+        blk = vb.prior_lam
+        if lm_damping:
+            blk = blk + lm_damping * jnp.eye(d, dtype=blk.dtype)
+        for k, tvb in enumerate(fb.vblocks):
+            if tvb != vi:
+                continue
+            wjk = (js[k] * (fb.prec * w[:, None])[:, :, None]
+                   if fb.prec.ndim == 2
+                   else bmm(fb.prec, js[k]) * w[:, None, None])
+            blk = blk + segs[k](bmm(bT(wjk), js[k]))
+        pinv.append(scaled_sym_inv(blk, d))
+    pinv = tuple(pinv)
+
+    tdot = lambda u, v: sum(jnp.sum(a * b) for a, b in zip(u, v))
+    papply = lambda r: tuple(bmv(p, rk) for p, rk in zip(pinv, r))
+
+    x0 = tuple(jnp.zeros_like(b) for b in rhs)
+    r = tuple(b - h for b, h in zip(rhs, h_matvec(x0)))
+    z = papply(r)
+    p = z
+    rz = tdot(r, z)
+
+    def body(_, carry):
+        xk, r, p, rz = carry
+        hp = h_matvec(p)
+        denom = tdot(p, hp)
+        alpha = jnp.where(denom > 0, rz / denom, 0.0)
+        xk = tuple(a + alpha * b for a, b in zip(xk, p))
+        r = tuple(a - alpha * b for a, b in zip(r, hp))
+        z = papply(r)
+        rz_new = tdot(r, z)
+        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
+        p = tuple(a + beta * b for a, b in zip(z, p))
+        return xk, r, p, rz_new
+
+    dx, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x0, r, p, rz))
+    return tuple(mu + d for mu, d in zip(means, dx))
+
+
+def solve_pcg(graph: Graph, means: tuple, n_steps: int = 5, fi: int = 0,
+              cg_iters: int = 100, lm_damping: float = 0.0):
+    """n_steps full-system PCG Gauss-Newton iterations (relinearizing)."""
+    for _ in range(n_steps):
+        means = gauss_newton_step_pcg(graph, means, fi=fi, cg_iters=cg_iters,
+                                      lm_damping=lm_damping)
+    return means

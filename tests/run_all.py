@@ -62,12 +62,17 @@ def main() -> int:
 
     t0 = time.time()
     failed: list[tuple[list[str], int]] = []
+    timings: list[tuple[float, int, list[str]]] = []
     for i, batch in enumerate(batches):
-        cmd = [sys.executable, "-m", "pytest", "-q",
+        # --durations=3 prints each batch's slowest tests so compile-time
+        # regressions are visible per batch (VERDICT r4 item 6).
+        cmd = [sys.executable, "-m", "pytest", "-q", "--durations=3",
                *(os.path.join(here, f) for f in batch), *extra]
         print(f"\n=== batch {i + 1}/{len(batches)}: {' '.join(batch)} ===",
               flush=True)
+        tb = time.time()
         rc = subprocess.call(cmd, cwd=os.path.dirname(here))
+        timings.append((time.time() - tb, i + 1, batch))
         if rc != 0:
             sig = -rc if rc < 0 else None
             name = signal.Signals(sig).name if sig else None
@@ -75,6 +80,9 @@ def main() -> int:
                   + (f" (killed by {name})" if name else ""), flush=True)
             failed.append((batch, rc))
     dt = time.time() - t0
+    print("\nslowest batches:")
+    for bt, n, batch in sorted(timings, reverse=True)[:5]:
+        print(f"  {bt:6.0f}s  batch {n}: {' '.join(batch)}")
     if failed:
         print(f"\nFAILED: {len(failed)}/{len(batches)} batches in {dt:.0f}s")
         for batch, rc in failed:

@@ -61,3 +61,46 @@ def test_schur_sharded_matches_single_device():
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(multi[1]), np.asarray(single[1]),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_pcg_gn_matches_dense_oracle_on_pose_graph():
+    """gauss_newton_step_pcg (full-system block-Jacobi PCG — the same-block
+    pose-graph MAP target) solves the SAME linear system as the dense oracle
+    at the same linearization, Huber included (merged per-factor thresholds:
+    robust loop closures + non-robust odometry)."""
+    from gbp_tpu.models import pose_graph
+
+    sim = pose_graph.simulate_manhattan(n_poses=50, seed=0, loop_prob=0.3,
+                                        loop_radius=3.0)
+    graph, means = pose_graph.build(sim, layout="none", dtype=jnp.float64)
+    state = init_state(graph, means)
+    expected = map_solution(graph, state)
+    got = schur.gauss_newton_step_pcg(graph, means, cg_iters=400)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(expected[0]),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_pcg_gn_matches_schur_elimination_on_ba():
+    """Full-system PCG and camera/landmark Schur elimination are different
+    solvers of identical normal equations — one step from the same means
+    must agree."""
+    sim = ba.simulate(n_cams=8, n_lmks=120, seed=4)
+    graph, means = ba.build(sim, huber=2.0, dtype=jnp.float64)
+    a = schur.gauss_newton_step(graph, means, cg_iters=250)
+    b = schur.gauss_newton_step_pcg(graph, means, cg_iters=400)
+    np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(b[1]), np.asarray(a[1]),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_pcg_gn_solve_converges_on_pose_graph():
+    from gbp_tpu.models import pose_graph
+
+    sim = pose_graph.simulate_manhattan(n_poses=80, seed=1, loop_prob=0.3,
+                                        loop_radius=3.0)
+    graph, means = pose_graph.build(sim, layout="none", dtype=jnp.float64)
+    ate0 = pose_graph.ate(np.asarray(means[0]), sim["truth"])
+    mu = schur.solve_pcg(graph, means, n_steps=6, cg_iters=200)
+    ate = pose_graph.ate(np.asarray(mu[0]), sim["truth"])
+    assert ate < 0.5 * ate0, (ate0, ate)
