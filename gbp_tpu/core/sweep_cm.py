@@ -1161,6 +1161,19 @@ def prepare_seg(graph: Graph, segsum_exact: bool = False,
         concat_base += m_s
     assert v0 == n_e, (v0, n_e)
 
+    if classes_mode != "exact" and any(p.win_w == 0 for p in parts):
+        # Open issue (round 5): the UNWINDOWED multi-segment sweep
+        # (fused_*_cm_tab_ell per class) reproducibly crashes the TPU
+        # worker at bench64-arc scale — the sweep itself completes with
+        # finite, readable outputs, but the NEXT compiled program
+        # (to_gbp_state) hits "TPU worker crashed / kernel fault", the
+        # signature of a stray out-of-bounds write.  Every windowed-part
+        # run (city/venice scenes, many repeats) is clean, so the auto
+        # path declines rather than risk taking down the device; the
+        # single-segment engine is the proven fallback for arc-like
+        # scenes.  classes_mode="exact" (tests; CPU interpret) is exempt.
+        return None
+
     order = np.concatenate(order_parts)
     vperm = jnp.asarray(order, jnp.int32)
     vinv = jnp.asarray(np.argsort(order), jnp.int32)

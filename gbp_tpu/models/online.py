@@ -444,3 +444,52 @@ def snapshot(ob: OnlineBA):
         lmk_ids=np.asarray(fb.adj[1][:no]),
         z=np.asarray(fb.z[:no]),
     )
+
+
+def frames_from_sim(sim):
+    """Group a batch sim's observations into per-camera arrival-order frames
+    in GLOBAL landmark ids and normalized coordinates.  The caller owns the
+    global→online id remap (see `OnlineIds`): after `evict_frames`
+    compacts the landmark block, any precomputed online ids go stale, so a
+    fixed-lag stream MUST track ids frame by frame — the standard frontend
+    bookkeeping (tests/test_online.py:184-209 is the reference loop).  Used
+    by the serving benchmark (bench/serving.py)."""
+    k = sim["k"]
+    uv_n = np.stack([(sim["obs"][:, 0] - k[2]) / k[0],
+                     (sim["obs"][:, 1] - k[3]) / k[1]], axis=1)
+    return [dict(cam=sim["cam_init"][c],
+                 lmk_global=sim["lmk_ids"][sel].astype(np.int64),
+                 obs_uv=uv_n[sel])
+            for c in range(sim["cam_init"].shape[0])
+            for sel in (np.flatnonzero(sim["cam_ids"] == c),)]
+
+
+class OnlineIds:
+    """Host-side global→online landmark id map for a fixed-lag stream.
+
+    `evict_frames(ob, n)` drops the oldest cameras and COMPACTS landmarks:
+    ids below the eviction cut disappear and the rest shift down by the
+    cut.  `shift(lmin)` mirrors that on the host; a re-observation of a
+    marginalized landmark re-enters as a NEW landmark (the standard
+    fixed-lag frontend semantics; its evicted mass lives on in the
+    marginalization priors)."""
+
+    def __init__(self):
+        self._map = {}
+
+    def shift(self, lmin: int):
+        self._map = {g: i - lmin for g, i in self._map.items() if i >= lmin}
+
+    def resolve(self, lmk_global, n_lmks: int, lmk_init):
+        """Map one frame's global ids to online ids, allocating fresh ids
+        (starting at n_lmks) for unseen/evicted landmarks.  Returns
+        (online_ids [n_obs], new_lmk_positions [n_new, 3])."""
+        ids, new_lmks = [], []
+        for g in np.asarray(lmk_global):
+            g = int(g)
+            if g not in self._map:
+                self._map[g] = n_lmks + len(new_lmks)
+                new_lmks.append(lmk_init[g])
+            ids.append(self._map[g])
+        return (np.asarray(ids, np.int32),
+                np.asarray(new_lmks, np.float64).reshape(-1, 3))
