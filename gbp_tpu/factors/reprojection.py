@@ -48,18 +48,32 @@ def _cam_point(x):
     return r, xc, pt
 
 
+def _safe_z(z, eps=1e-2):
+    """Sign-preserving depth floor: |z| >= eps, so a landmark crossing the
+    camera's z = 0 plane mid-iteration produces a huge-but-FINITE residual
+    (which Huber then rejects) instead of a 1/z overflow whose NaN poisons
+    every belief it touches.  Linpoints only cross the plane in degenerate
+    transients — e.g. a streamed frame arriving with a bad absolute init
+    (online serving measured 182 behind-camera observations on one corridor
+    frame: the un-guarded factor NaN'd the whole window).  Outside |z| < eps
+    this is the identity, so Jacobian-vs-autodiff parity at healthy points
+    is untouched.  Works for both depth conventions (pinhole z > 0 in
+    front, BAL z < 0)."""
+    return jnp.where(z >= 0, jnp.maximum(z, eps), jnp.minimum(z, -eps))
+
+
 def reprojection() -> FactorType:
     """Pinhole reprojection; args = K as [fx, fy, cx, cy]."""
 
     def meas(x, k):
         _, xc, _ = _cam_point(x)
-        inv_z = 1.0 / xc[2]
+        inv_z = 1.0 / _safe_z(xc[2])
         return jnp.stack([k[0] * xc[0] * inv_z + k[2], k[1] * xc[1] * inv_z + k[3]])
 
     def jac(x, k):
         r, xc, pt = _cam_point(x)
         fx, fy = k[0], k[1]
-        inv_z = 1.0 / xc[2]
+        inv_z = 1.0 / _safe_z(xc[2])
         zero = jnp.zeros_like(inv_z)
         # d(pixel)/d(Xc): [2, 3].  Built with stack, NOT .at[].set(): under
         # vmap XLA materializes the scatter with tile-padded layouts (~60x
@@ -94,12 +108,12 @@ def reprojection_normalized() -> FactorType:
     def meas(x, args):
         del args
         _, xc, _ = _cam_point(x)
-        return xc[:2] / xc[2]
+        return xc[:2] / _safe_z(xc[2])
 
     def jac(x, args):
         del args
         r, xc, pt = _cam_point(x)
-        inv_z = 1.0 / xc[2]
+        inv_z = 1.0 / _safe_z(xc[2])
         zero = jnp.zeros_like(inv_z)
         # Stack-built (no .at[].set(): vmapped scatters get tile-padded
         # layouts from XLA — a ~60x memory blowup at millions of factors).
@@ -123,7 +137,7 @@ def bal_reprojection() -> FactorType:
 
     def meas(x, cam):
         _, xc, _ = _cam_point(x)
-        p = -xc[:2] / xc[2]
+        p = -xc[:2] / _safe_z(xc[2])
         r2 = p[0] * p[0] + p[1] * p[1]
         distortion = 1.0 + r2 * (cam[1] + cam[2] * r2)
         return cam[0] * distortion * p
@@ -141,7 +155,7 @@ def bal_reprojection_normalized() -> FactorType:
 
     def meas(x, dist):
         _, xc, _ = _cam_point(x)
-        p = -xc[:2] / xc[2]
+        p = -xc[:2] / _safe_z(xc[2])
         r2 = p[0] * p[0] + p[1] * p[1]
         distortion = 1.0 + r2 * (dist[0] + dist[1] * r2)
         return distortion * p
@@ -169,7 +183,7 @@ def bal_reprojection_intrinsics() -> FactorType:
         w, t, pt = x[:3], x[3:6], x[9:12]
         rf, k1, k2 = x[6], x[7], x[8]
         xc = bmv(so3_exp(w), pt) + t
-        p = -xc[:2] / xc[2]
+        p = -xc[:2] / _safe_z(xc[2])
         r2 = p[0] * p[0] + p[1] * p[1]
         distortion = 1.0 + r2 * (k1 + k2 * r2)
         return rf * distortion * p

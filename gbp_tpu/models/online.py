@@ -72,13 +72,19 @@ class OnlineBA(flax.struct.PyTreeNode):
 
 def create(cam_capacity: int, lmk_capacity: int, obs_capacity: int,
            chunk: int = 256, pix_sigma_n: float = 0.002,
-           lmk_prior_prec: float = 50.0,
+           lmk_prior_prec: float = 50.0, huber: float | None = 2.0,
            dtype=jnp.float32) -> OnlineBA:
     """Empty fixed-capacity problem (normalized-coordinate reprojection).
 
     pix_sigma_n: measurement sigma in NORMALIZED image coordinates
     (pixel sigma / focal length).  chunk: max observations per add_frame
-    call (the static batch size of the update)."""
+    call (the static batch size of the update).  huber: Mahalanobis
+    threshold in std-devs (robustified by default: every arrival enters
+    with a single-view extrapolated init whose first-sweep residuals are
+    10-30x sigma, and `evict_frames` permanently freezes messages into
+    marginalization priors — un-robustified squared loss lets one
+    mid-recovery eviction bake that transient into the window, which
+    measurably compounds to divergence after ~60-100 streamed frames)."""
     ftype = reprojection.reprojection_normalized()
     d_c, d_l, zd = 6, 3, 2
     cams = VariableBlock(
@@ -96,7 +102,7 @@ def create(cam_capacity: int, lmk_capacity: int, obs_capacity: int,
         prec=jnp.full((obs_capacity, zd), 1.0 / pix_sigma_n**2, dtype),
         valid=jnp.zeros(obs_capacity, bool),
         ftype=ftype, vblocks=(0, 1), dofs=(d_c, d_l),
-        name="reproj")
+        huber=huber, name="reproj")
     graph = Graph(vblocks=(cams, lmks), fblocks=(fb,))
     t = d_c + d_l
     state = GBPState(
@@ -308,9 +314,10 @@ def weaken_camera_priors(ob: OnlineBA, factor=0.7, floor=30.0) -> OnlineBA:
         ob.graph.vblocks[1])))
 
 
-@functools.partial(jax.jit, static_argnums=1)
+@functools.partial(jax.jit, static_argnums=(1, 2))
 @f32_exact
-def evict_frames(ob: OnlineBA, n_evict: int) -> OnlineBA:
+def evict_frames(ob: OnlineBA, n_evict: int,
+                 marg_discount: float = 0.5) -> OnlineBA:
     """Fixed-lag eviction: marginalize the oldest `n_evict` cameras out of
     the window so the problem serves indefinitely (VERDICT r2 item 2; the
     standard fixed-lag smoother of arXiv:1910.14139 §5's streaming setting).
@@ -340,7 +347,16 @@ def evict_frames(ob: OnlineBA, n_evict: int) -> OnlineBA:
     keep = fb.valid & ~ev
 
     # --- absorb evicted factors' landmark messages into landmark priors ----
-    w = ev.astype(dt)[:, None]
+    # marg_discount < 1 is the standard fixed-lag forgetting factor: the
+    # frozen message was computed at the moment of eviction — possibly
+    # mid-recovery from an arrival transient — and absorbing it at full
+    # strength lets accumulated bias out-vote fresh arrival information.
+    # Measured on a 120-frame corridor stream (lag 16, the serving bench
+    # recipe): 0.5 vs 1.0 is a small but consistent tail-quality win
+    # (last-5-frame ARE 1.9-3.6 px vs 2.3-3.6 px, same median); the
+    # first-order stream stabilizers are the stiff camera anneal floor and
+    # num_undamped_iters=0 (see bench/serving.py), not this knob.
+    w = (marg_discount * ev.astype(dt))[:, None]
     packed_msg = jnp.concatenate(
         [fs.msg_eta[1], fs.msg_lam[1].reshape(ocap, -1)], axis=1) * w
     absorbed = jax.ops.segment_sum(packed_msg, fb.adj[1], num_segments=lcap)
@@ -462,6 +478,65 @@ def frames_from_sim(sim):
                  obs_uv=uv_n[sel])
             for c in range(sim["cam_init"].shape[0])
             for sel in (np.flatnonzero(sim["cam_ids"] == c),)]
+
+
+def _so3_exp_np(w):
+    th = float(np.linalg.norm(w))
+    k = np.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]],
+                  [-w[1], w[0], 0.0]])
+    if th < 1e-12:
+        return np.eye(3) + k
+    return (np.eye(3) + np.sin(th) / th * k
+            + (1.0 - np.cos(th)) / th ** 2 * (k @ k))
+
+
+def _so3_log_np(r):
+    c = np.clip((np.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    th = float(np.arccos(c))
+    v = np.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
+    if th < 1e-12:
+        return v / 2.0
+    return th / (2.0 * np.sin(th)) * v
+
+
+def cheirality_ok(cam6, pts, min_frac=0.95, eps=0.05):
+    """Host-side arrival sanity check: does this world->cam pose put at
+    least `min_frac` of `pts` [n, 3] in FRONT of the camera (z > eps)?
+    Simulated init noise on a near-pi/2 rotation occasionally swings the
+    optical axis far enough that a frame's own landmarks sit behind it —
+    no solver converges a reprojection factor from the wrong side of the
+    z = 0 plane, so a streaming frontend must catch the init and fall
+    back to a motion-model pose (bench/serving.py's loop)."""
+    r = _so3_exp_np(np.asarray(cam6[:3], np.float64))
+    z = (np.asarray(pts, np.float64) @ r.T + np.asarray(cam6[3:]))[:, 2]
+    return z.size == 0 or float((z > eps).mean()) >= min_frac
+
+
+def gauge_drift(prev_init6, prev_est6):
+    """Rigid world-frame drift D = (R_d, t_d) of the sliding window,
+    estimated from ONE camera's original init vs its current estimate
+    (world->cam convention, xc = R X + t: R_e (R_d X + t_d) + t_e =
+    R_i X + t_i).  A fixed-lag window is anchored only by its
+    marginalization priors, so its gauge random-walks in the absolute
+    frame; arrivals initialized (and priored) in the ORIGINAL frame fight
+    the drifted window and eventually diverge — the standard fixed-lag
+    frontend initializes arrivals relative to the current estimate."""
+    ri, ti = _so3_exp_np(prev_init6[:3]), np.asarray(prev_init6[3:])
+    re, te = _so3_exp_np(prev_est6[:3]), np.asarray(prev_est6[3:])
+    return re.T @ ri, re.T @ (ti - te)
+
+
+def apply_drift_cam(cam6, rd, td):
+    """Re-express a world->cam pose given in the original frame in the
+    window's drifted frame: R' = R R_d^T, t' = t - R' t_d."""
+    ra = _so3_exp_np(cam6[:3])
+    rp = ra @ rd.T
+    return np.concatenate([_so3_log_np(rp), np.asarray(cam6[3:]) - rp @ td])
+
+
+def apply_drift_lmk(pts, rd, td):
+    """Map original-frame landmark positions into the drifted frame."""
+    return pts @ rd.T + td
 
 
 class OnlineIds:

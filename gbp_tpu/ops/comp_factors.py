@@ -73,6 +73,15 @@ def _right_jacobian(w):
     return jr
 
 
+def _safe_z(zc):
+    """Sign-preserving depth floor (|z| >= 1e-2) — mirrors
+    factors/reprojection._safe_z so the fused kernels and the XLA path
+    compute identical measurements: a linpoint crossing the z = 0 plane
+    (degenerate arrival inits in the online stream) yields a finite
+    Huber-rejectable residual instead of a NaN that poisons the sweep."""
+    return jnp.where(zc >= 0, jnp.maximum(zc, 1e-2), jnp.minimum(zc, -1e-2))
+
+
 def _cam_point(x):
     """x = [omega (3), t (3), X (3)] -> (R, Xc = R X + t, X)."""
     w = x[0:3]
@@ -87,7 +96,7 @@ def reprojection_normalized_comp(x, args):
     """Component form of factors/reprojection.reprojection_normalized."""
     del args
     r, xc, pt, w = _cam_point(x)
-    inv_z = 1.0 / xc[2]
+    inv_z = 1.0 / _safe_z(xc[2])
     h = [xc[0] * inv_z, xc[1] * inv_z]
     # dpi [2][3]
     zero = jnp.zeros_like(inv_z)
@@ -112,7 +121,7 @@ def bal_reprojection_normalized_comp(x, args):
     """
     k1, k2 = args[0], args[1]
     r, xc, pt, w = _cam_point(x)
-    inv_z = 1.0 / xc[2]
+    inv_z = 1.0 / _safe_z(xc[2])
     p = [-xc[0] * inv_z, -xc[1] * inv_z]
     r2 = p[0] * p[0] + p[1] * p[1]
     dist = 1.0 + r2 * (k1 + k2 * r2)
@@ -153,7 +162,7 @@ def bal_reprojection_intrinsics_comp(x, args):
     pt = x[9:12]
     r = _so3_exp(w)
     xc = [cl.cmv(r, pt)[i] + t[i] for i in range(3)]
-    inv_z = 1.0 / xc[2]
+    inv_z = 1.0 / _safe_z(xc[2])
     p = [-xc[0] * inv_z, -xc[1] * inv_z]
     r2 = p[0] * p[0] + p[1] * p[1]
     dist = 1.0 + r2 * (k1 + k2 * r2)
