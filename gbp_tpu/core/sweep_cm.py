@@ -60,6 +60,7 @@ from gbp_tpu.ops.messages_pallas import (
     expand_ell_blk,
     fused_messages_cm,
     fused_relin_cm,
+    scatter_windows_cm,
     segsum_cm,
     segsum_cm_blk,
 )
@@ -769,16 +770,12 @@ def sweep(cmg: CMGraph, state: CMState, cfg: GBPConfig,
     f_g = d_g + d_g * d_g
     if cmg.gather_mode == "table" and cmg.ell_fused:
         if cmg.win_w:
-            # Cross-tile combine of the folded per-tile partials — the same
-            # XLA segment_sum tail as segsum_cm_blk.
-            w = cmg.win_w
-            n_tiles = cmg.mp // TILE
-            ids = (cmg.win_starts[:, None]
-                   + jnp.arange(w, dtype=cmg.win_starts.dtype)).reshape(-1)
-            rows = jnp.swapaxes(gpart, 1, 2).reshape(n_tiles * w, f_g)
-            sum_g = jnp.swapaxes(
-                jax.ops.segment_sum(rows, ids, num_segments=n_g + w)[:n_g],
-                0, 1)
+            # Cross-tile combine of the folded per-tile partials in a VMEM
+            # scatter kernel (round 5) — the XLA segment_sum it replaces
+            # measured 0.59 ms of the 2.83 ms city sweep.
+            sum_g = scatter_windows_cm(
+                gpart, cmg.win_starts, n_seg=n_g, w=cmg.win_w,
+                ncpad=cmg.win_ncpad, interpret=interp)
         else:
             sum_g = gpart[:, :n_g]
     elif cmg.win_w:
@@ -1328,15 +1325,11 @@ def sweep_seg(sg: CMSegGraph, state: CMState, cfg: GBPConfig) -> CMState:
                 gslot=g, win_w=p.win_w, deg=p.deg, ell_w2=p.ell_w2,
                 exact=sum_exact, interpret=interp,
             )
-            # Cross-tile combine of the folded windowed partials (same XLA
-            # segment_sum tail as the single-segment path).
-            n_tiles = p.mp // TILE
-            ids = (p.win_starts[:, None]
-                   + jnp.arange(p.win_w, dtype=p.win_starts.dtype)).reshape(-1)
-            rows = jnp.swapaxes(gpart, 1, 2).reshape(n_tiles * p.win_w, f_g)
-            sum_g = sum_g + jnp.swapaxes(
-                jax.ops.segment_sum(rows, ids,
-                                    num_segments=n_g + p.win_w)[:n_g], 0, 1)
+            # Cross-tile combine of the folded windowed partials (same VMEM
+            # scatter kernel as the single-segment path).
+            sum_g = sum_g + scatter_windows_cm(
+                gpart, p.win_starts, n_seg=n_g, w=p.win_w,
+                ncpad=sg.win_ncpad, interpret=interp)
         else:
             btab = tab_full[: f_g]
             mtab = tab_full[f_g:]

@@ -1532,6 +1532,57 @@ def _kernel_segsum_blk(params_ref, me_ref, ml_ref, idx_ref, out_ref,
     out_ref[0] = acc
 
 
+def _kernel_scatter_win(params_ref, rows_ref, out_ref, *, w):
+    """Cross-tile combine of per-tile windowed partials: out[start_i :
+    start_i + w, :] += rows[i] over a sequential grid, with the whole
+    [ncpad, f] accumulator resident in VMEM (city 0.8 MB, venice 5.5 MB).
+
+    Replaces the XLA segment_sum tail (scatter-add lowering), which
+    measured 0.59 ms of the 2.83 ms city sweep and scales with
+    n_tiles * w * f at venice.  The accumulator is TRANSPOSED — cameras on
+    the SUBLANE axis — because the dynamic offset lands on sublanes there;
+    dynamic offsets on the minor (lane) axis are the expensive case on
+    TPU.  XLA does the [f, n_tiles, w] -> [n_tiles, w, f] transpose
+    outside (bandwidth-trivial next to the kernel's own traffic)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    start = _win_start(params_ref)
+    out_ref[pl.ds(start, w), :] = out_ref[pl.ds(start, w), :] + rows_ref[0]
+    # (An in-kernel MXU identity-dot transpose of the untransposed gpart
+    # was measured at city scale and is NOT faster: 0.294 vs 0.260
+    # ms/sweep for this stage — the XLA transpose outside wins.)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_seg", "w", "ncpad", "interpret"))
+def scatter_windows_cm(gpart, starts, *, n_seg, w, ncpad, interpret=False):
+    """[n_tiles, f, w] per-tile windowed partials (the fused message
+    kernels' gpart layout) + per-tile starts -> [f, n_seg] summed over the
+    (overlapping) windows.  Drop-in for the segment_sum cross-tile
+    combine; float addition ORDER differs (sequential tiles vs
+    segment-sorted), so parity with the old tail is to roundoff, not
+    bitwise."""
+    n_tiles, f, _ = gpart.shape
+    rows = jnp.swapaxes(gpart, 1, 2)  # [n_tiles, w, f]
+    params_ext = starts.astype(gpart.dtype).reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_kernel_scatter_win, w=w),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, w, f), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ncpad, f), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncpad, f), gpart.dtype),
+        interpret=interpret,
+    )(params_ext, rows)
+    return jnp.swapaxes(out[:n_seg], 0, 1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_seg", "w", "exact", "interpret"))
 def segsum_cm_blk(me, ml, idx, starts, *, n_seg, w, exact=False,

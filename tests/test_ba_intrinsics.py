@@ -132,7 +132,13 @@ def test_intrinsics_multichip_halo_and_cm():
     sim, _ = _wrong_intr_sim()
     cfg = GBPConfig(eta_damping=0.4, num_undamped_iters=6, min_linear_iters=8,
                     message_form="pallas")
-    mesh = sharding.make_mesh(4)
+    # 2-chip mesh: what this test pins is the 9-DOF camera dims flowing
+    # through the halo/halo_cm machinery (owner sharding, boundary
+    # exchange, keep-range prior weakening) — multi-neighbor mesh TOPOLOGY
+    # is covered by test_halo.py on an 8-mesh with 6-dof cameras, and the
+    # shard_map interpret cost on this 1-CPU box scales with mesh size
+    # (4-mesh: 180 s, the whole suite's slowest test).
+    mesh = sharding.make_mesh(2)
 
     # Generic halo, including a weakening step mid-run.
     graph, means, _ = ba.build_bal(sim, dtype=jnp.float64,
