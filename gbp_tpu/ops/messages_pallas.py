@@ -1618,10 +1618,14 @@ def segsum_cm_blk(me, ml, idx, starts, *, n_seg, w, exact=False,
         out_shape=jax.ShapeDtypeStruct((n_tiles, f, w), dt),
         interpret=interpret,
     )(params_ext, me, ml, idx)
-    ids = (starts[:, None] + jnp.arange(w, dtype=starts.dtype)).reshape(-1)
-    rows = jnp.swapaxes(partial_out, 1, 2).reshape(n_tiles * w, f)
-    out = jax.ops.segment_sum(rows, ids, num_segments=n_seg + w)
-    return jnp.swapaxes(out[:n_seg], 0, 1)
+    # Cross-tile combine in the VMEM scatter kernel (round 5; replaced the
+    # XLA segment_sum tail).  Every producer of `starts` clips them to
+    # ceil(n_seg / SUB) * SUB - w (sweep_cm._windows and halo_cm's window
+    # build both construct starts against the SUB-padded own table), so
+    # this ncpad bounds every dynamic store.
+    ncpad = max(((n_seg + SUB - 1) // SUB) * SUB, w)
+    return scatter_windows_cm(partial_out, starts, n_seg=n_seg, w=w,
+                              ncpad=ncpad, interpret=interpret)
 
 
 def _kernel_tab_blkg_ell(params_ref, jac_ref, x0_ref, r0_ref, prec_ref,
