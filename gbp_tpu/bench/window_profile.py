@@ -149,19 +149,21 @@ def profile_scene(graph, means, cfg, window, iters, ell_fused=None):
         def body(_, msgs):
             me0, ml0, me1, ml1 = msgs
             if cmg.ell_fused and cmg.win_w:
+                # 5th output = the folded gathered-slot partials (round 4);
+                # not part of this stage's carry.
                 return mp.fused_messages_cm_tabblk_ell(
                     params, cmg.ell_starts, cmg.win_starts, fs.jac, fs.lp,
                     fs.r0, cmg.prec, fs.srel, cmg.act, lbtab, bwtab,
                     cmg.gidx_cm, me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim,
                     prec_full=False, huber=huber, gslot=g, win_w=cmg.win_w,
-                    deg=deg, ell_w2=cmg.ell_w2, interpret=interp)
+                    deg=deg, ell_w2=cmg.ell_w2, interpret=interp)[:4]
             if cmg.ell_fused:
                 return mp.fused_messages_cm_tab_ell(
                     params, cmg.ell_starts, fs.jac, fs.lp, fs.r0, cmg.prec,
                     fs.srel, cmg.act, lbtab, tab[: d_g + d_g * d_g],
                     cmg.gidx_cm, me0, ml0, me1, ml1, d0=d0, d1=d1, z=zdim,
                     prec_full=False, huber=huber, gslot=g, deg=deg,
-                    ell_w2=cmg.ell_w2, interpret=interp)
+                    ell_w2=cmg.ell_w2, interpret=interp)[:4]
             if cmg.win_w:
                 return mp.fused_messages_cm_tabblk(
                     params, cmg.win_starts, fs.jac, fs.lp, fs.r0, cmg.prec,
