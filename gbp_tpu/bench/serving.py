@@ -66,6 +66,11 @@ def _make_step(online, jax):
     random-walks away from the fresh arrivals' absolute anchoring and the
     growing internal tension bursts."""
 
+    # NOTE: donate_argnums=0 (the previous frame's state buffers are dead
+    # after each call) was tried and FAILS at runtime on the axon tunnel
+    # backend (InvalidArgument at the first sync) — donation is not
+    # supported there; on a directly-attached chip it should be safe to
+    # re-enable.
     @functools.partial(jax.jit, static_argnums=(10, 11, 12))
     def step(ob, cam, prec, z0, oid, uv, n_o, nl, n_l, cfg, n_sweeps,
              do_evict, n_evict):
