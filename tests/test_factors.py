@@ -56,3 +56,31 @@ def test_linear_factor_meas():
     ft = linear.displacement(2)
     x = jnp.asarray([1.0, 2.0, 4.0, 7.0])
     np.testing.assert_allclose(np.asarray(ft.meas(x, None)), [3.0, 5.0])
+
+
+def test_depth_guard_behind_camera_is_finite_and_identity_in_front():
+    """The sign-preserving depth floor (reprojection._safe_z, round 5): a
+    linpoint crossing the z = 0 plane — measured on real streams when an
+    arrival init is degenerate — must give FINITE meas/jac (Huber then
+    rejects the row) instead of a 1/z overflow whose NaN poisons the sweep;
+    away from the plane the guard is exactly the identity (the analytic-vs-
+    autodiff parity tests above run on unguarded points)."""
+    for make, args in (
+        (reprojection.reprojection, jnp.asarray([500.0, 500.0, 320.0, 240.0])),
+        (reprojection.reprojection_normalized, None),
+        (reprojection.bal_reprojection, jnp.asarray([500.0, -1e-7, 1e-13])),
+        (reprojection.bal_reprojection_normalized, jnp.asarray([-1e-7, 1e-13])),
+    ):
+        ft = make()
+        # Point exactly on / behind the z = 0 plane of the camera.
+        for zc in (0.0, -0.5, 1e-6):
+            x = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.3, -0.2, zc])
+            h = np.asarray(ft.meas(x, args))
+            assert np.isfinite(h).all(), (ft.name, zc, h)
+            if ft.jac_fn is not None:
+                j = np.asarray(ft.jac(x, args))
+                assert np.isfinite(j).all(), (ft.name, zc)
+        # Healthy point: guarded == unguarded (identity outside |z| < eps).
+        x = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.3, -0.2, 2.5])
+        _, xc, _ = reprojection._cam_point(x)
+        assert float(reprojection._safe_z(xc[2])) == float(xc[2])

@@ -254,3 +254,43 @@ def test_fixed_lag_eviction_streams_past_capacity():
     batch = runj(graph, batch, cfg, 20)
     are_batch = float(ba.avg_reprojection_error(graph, batch, k=k))
     assert ares[-1] < 1.5 * are_batch + 0.3, (ares[-1], are_batch)
+
+
+def test_serving_recipe_long_stream_stationary():
+    """The serving bench's production recipe (bench/serving.py: fused
+    whole-frame step, OnlineIds bookkeeping, cheirality fallback, stiff
+    camera anneal floor, num_undamped_iters=0, Huber default) stays
+    STATIONARY over a stream far past the short-stream tests above — the
+    round-5 failure modes (per-frame relin re-opening the undamped window,
+    old-end gauge drift, z=0-crossing arrival inits) each diverged this
+    setting within ~60-120 frames before their fixes."""
+    from gbp_tpu.bench.serving import _make_step, _stream
+
+    sim = ba.simulate_corridor(n_cams=60, lmks_per_cam=20, window=3, seed=1)
+    frames = online.frames_from_sim(sim)
+    max_obs = max(len(f["lmk_global"]) for f in frames)
+    chunk = int(np.ceil(max_obs / 64) * 64)
+    f_px = sim["k"][0]
+    ob = online.create(cam_capacity=12, lmk_capacity=1024,
+                       obs_capacity=4096, chunk=chunk,
+                       pix_sigma_n=sim["pix_sigma"] / f_px,
+                       lmk_prior_prec=1000.0)
+    cfg = GBPConfig(eta_damping=0.4, lam_damping=0.4, num_undamped_iters=0,
+                    min_linear_iters=8)
+    step = _make_step(online, jax)
+    ares = []
+
+    def on_frame(i, ob):
+        m = ob.graph.fblocks[0].count
+        ares.append(float(ba.avg_reprojection_error(
+            ob.graph, ob.state, px_scale=np.full((m, 2), f_px))))
+
+    _stream(ob, frames, sim["lmk_init"], chunk, cfg, 10, 12, 4, online,
+            jnp, step, on_frame=on_frame)
+    a = np.asarray(ares)
+    assert np.isfinite(a).all(), a
+    # Stationary: bounded median AND a non-degrading tail (transient
+    # arrival spikes are allowed; the tail must come back down).
+    assert np.median(a) < 2.5, np.median(a)
+    assert np.median(a[-10:]) < 1.25 * np.median(a) + 0.5, (
+        np.median(a[-10:]), np.median(a))
