@@ -82,11 +82,37 @@ def _make_step(online, jax):
         ob = online.weaken_landmark_priors(ob, 0.6, floor=1.0)
         return online.weaken_camera_priors(ob, 0.7, floor=1000.0)
 
-    return step
+    import jax.numpy as jnp
+
+    from gbp_tpu.utils.lie import so3_exp, so3_log
+
+    # Odometry-arrival variant: the arrival pose (previous camera's
+    # ESTIMATE composed with the measured relative motion) and the
+    # camera-frame landmark placements are computed IN-GRAPH, so the frame
+    # stays one dispatch — a host-side composition would read the previous
+    # estimate back every frame, which measured 30.8 -> 17.6 frames/s over
+    # the tunnel (one extra round trip per frame).
+    @functools.partial(jax.jit, static_argnums=(11, 12, 13))
+    def step_odo(ob, rel_r, rel_t, prec, z0, oid, uv, n_o, lmk_cam_new,
+                 n_l, cfg, n_sweeps, do_evict, n_evict):
+        prev = ob.state.v[0].mean[ob.n_cams - 1]
+        r = rel_r @ so3_exp(prev[:3])
+        t = rel_r @ prev[3:] + rel_t
+        cam = jnp.concatenate([so3_log(r), t])
+        nl = (lmk_cam_new - t) @ r
+        if do_evict:
+            ob = online.evict_frames(ob, n_evict)
+        ob = online.add_frame(ob, cam, prec, z0, oid, uv, n_o, nl, n_l,
+                              check=False)
+        ob = online.run(ob, cfg, n_sweeps)
+        ob = online.weaken_landmark_priors(ob, 0.6, floor=1.0)
+        return online.weaken_camera_priors(ob, 0.7, floor=1000.0)
+
+    return step, step_odo
 
 
 def _stream(ob, frames, lmk_init, chunk, cfg, sweeps_per_frame, lag, n_evict,
-            online, jnp, step, on_frame=None):
+            online, jnp, steps, on_frame=None):
     """Run the serving loop; calls on_frame(i, ob) AFTER each frame's sync
     (quality pass) or records per-frame latency when on_frame is None.
 
@@ -94,7 +120,11 @@ def _stream(ob, frames, lmk_init, chunk, cfg, sweeps_per_frame, lag, n_evict,
     the global→online id map (online.OnlineIds) tracks `evict_frames`'s
     landmark compaction exactly as a real fixed-lag frontend must
     (tests/test_online.py:159 is the converged reference loop — arrival
-    prior 1000, lam_damping, per-frame prior annealing)."""
+    prior 1000, lam_damping, per-frame prior annealing).  Odometry frames
+    (fr['rel'] present — see online.frames_from_sim) go through the
+    in-graph composition step; absolute frames through the plain step
+    with the cheirality fallback."""
+    step, step_odo = steps
     lat = []
     ids = online.OnlineIds()
     z0 = jnp.zeros(chunk, jnp.int32)
@@ -105,15 +135,16 @@ def _stream(ob, frames, lmk_init, chunk, cfg, sweeps_per_frame, lag, n_evict,
     for i, fr in enumerate(frames):
         prec = np.full(6, 1e5 if i == 0 else 1000.0)
         t0 = time.time()
+        odometry = active and "rel" in fr
         cam = np.asarray(fr["cam"], np.float64)
-        if active and not online.cheirality_ok(cam,
-                                               lmk_init[fr["lmk_global"]]):
+        if not odometry and active and not online.cheirality_ok(
+                cam, lmk_init[fr["lmk_global"]]):
             # Degenerate arrival init (most of the frame's landmarks behind
             # the camera — the measured corridor stream hands one such
-            # frame in 120): no solver converges a reprojection factor
-            # from the wrong side of the z = 0 plane, so a real frontend
-            # never submits one.  Motion-model fallback: start from the
-            # previous camera's current estimate instead.
+            # frame in 120 under absolute arrivals): no solver converges a
+            # reprojection factor from the wrong side of the z = 0 plane,
+            # so a real frontend never submits one.  Motion-model
+            # fallback: start from the previous camera's estimate.
             cam = np.asarray(ob.state.v[0].mean[active - 1], np.float64)
             n_fallback += 1
         do_evict = active + 1 > lag
@@ -130,17 +161,37 @@ def _stream(ob, frames, lmk_init, chunk, cfg, sweeps_per_frame, lag, n_evict,
             ids.shift(lmin)
             n_lmks -= lmin
             active -= n_evict
-        oid, new_lmks = ids.resolve(fr["lmk_global"], n_lmks, lmk_init)
+        oid, new_sel = ids.resolve(fr["lmk_global"], n_lmks)
         cam_min.append(int(oid.min()) if len(oid) else None)
-        n_lmks += len(new_lmks)
+        n_lmks += len(new_sel)
         active += 1
-        ob = step(ob, jnp.asarray(cam), jnp.asarray(prec), z0,
-                  jnp.asarray(_pad(oid, chunk)),
-                  jnp.asarray(_pad(fr["obs_uv"], chunk)),
-                  jnp.int32(len(oid)),
-                  jnp.asarray(_pad(new_lmks, chunk)),
-                  jnp.int32(len(new_lmks)),
-                  cfg, sweeps_per_frame, do_evict, n_evict)
+        if odometry:
+            # Arrival pose AND new-landmark placement (camera-frame
+            # triangulation stand-in: X_window = R^T (X_cam - t), bounded
+            # error at any horizon) are computed IN-GRAPH from the
+            # previous camera's estimate — see _make_step's step_odo.
+            r_rel, t_rel = fr["rel"]
+            lmk_cam_new = np.asarray(fr["lmk_cam"][new_sel],
+                                     np.float64).reshape(-1, 3)
+            ob = step_odo(ob, jnp.asarray(r_rel), jnp.asarray(t_rel),
+                          jnp.asarray(prec), z0,
+                          jnp.asarray(_pad(oid, chunk)),
+                          jnp.asarray(_pad(fr["obs_uv"], chunk)),
+                          jnp.int32(len(oid)),
+                          jnp.asarray(_pad(lmk_cam_new, chunk)),
+                          jnp.int32(len(new_sel)),
+                          cfg, sweeps_per_frame, do_evict, n_evict)
+        else:
+            new_lmks = np.asarray(
+                lmk_init[fr["lmk_global"][new_sel]],
+                np.float64).reshape(-1, 3)
+            ob = step(ob, jnp.asarray(cam), jnp.asarray(prec), z0,
+                      jnp.asarray(_pad(oid, chunk)),
+                      jnp.asarray(_pad(fr["obs_uv"], chunk)),
+                      jnp.int32(len(oid)),
+                      jnp.asarray(_pad(new_lmks, chunk)),
+                      jnp.int32(len(new_lmks)),
+                      cfg, sweeps_per_frame, do_evict, n_evict)
         ob.state.v[0].mean.block_until_ready()  # serving sync point
         lat.append(time.time() - t0)
         if on_frame is not None:
@@ -163,6 +214,12 @@ def main():
     ap.add_argument("--sweeps_per_frame", type=int, default=10,
                     help="per-frame sweep budget (the streaming tests' "
                          "converged setting, tests/test_online.py)")
+    ap.add_argument("--arrivals", choices=("absolute", "odometry"),
+                    default="absolute",
+                    help="arrival init model: the sim's absolute noisy "
+                         "poses (lever-arm noise growth — fine to ~120 "
+                         "frames) or tracking-style odometry composition "
+                         "(long-horizon; see online.frames_from_sim)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -175,7 +232,9 @@ def main():
     dev = jax.devices()[0]
     sim = ba.simulate_corridor(n_cams=args.frames, lmks_per_cam=args.lpc,
                                window=3, seed=0)
-    frames = online.frames_from_sim(sim)
+    frames = online.frames_from_sim(
+        sim, odometry_sigma=(0.02, 0.05) if args.arrivals == "odometry"
+        else None)
     max_obs = max(len(f["lmk_global"]) for f in frames)
     chunk = int(np.ceil(max_obs / 64) * 64)
     f_px = sim["k"][0]
@@ -200,18 +259,19 @@ def main():
 
     # --- timed pass -----------------------------------------------------
     t0 = time.time()
-    step = _make_step(online, jax)
+    steps = _make_step(online, jax)
     ob, lat = _stream(fresh(), frames, sim["lmk_init"], chunk, cfg,
                       args.sweeps_per_frame, args.lag, args.n_evict,
-                      online, jnp, step)
+                      online, jnp, steps)
     total = time.time() - t0
     # Steady state = after every jitted piece has compiled: first frame
     # (add/run/weaken), first eviction frame.  Everything later must reuse
-    # compiles — asserted via the jit cache sizes.
-    # Two cache entries: the evict-off and evict-on variants of the fused
-    # whole-frame program; anything more means a shape leak recompiled the
-    # steady-state loop.
-    assert step._cache_size() == 2, "fused frame step recompiled"
+    # compiles — asserted via the jit cache sizes: absolute arrivals use
+    # the plain step's evict-off/on variants; odometry arrivals use the
+    # plain step once (frame 0) plus the odometry step's two variants.
+    # Anything more means a shape leak recompiled the steady-state loop.
+    assert steps[0]._cache_size() + steps[1]._cache_size() <= 3, \
+        "fused frame step recompiled"
     first_evict = next(i for i, fr in enumerate(frames) if i + 1 > args.lag)
     steady = np.asarray(lat[first_evict + 1:])
     fps = 1.0 / np.median(steady)
@@ -232,7 +292,7 @@ def main():
 
     _stream(fresh(), frames, sim["lmk_init"], chunk, cfg,
             args.sweeps_per_frame, args.lag, args.n_evict, online, jnp,
-            step, on_frame=on_frame)
+            steps, on_frame=on_frame)
     ares_np = np.asarray(ares)
     assert np.isfinite(ares_np).all(), "non-finite ARE in stream"
     print(f"[serving] quality pass: ARE median {np.median(ares_np):.3f}px, "
@@ -240,6 +300,7 @@ def main():
 
     out = {
         "platform": str(dev),
+        "arrivals": args.arrivals,
         "frames": args.frames,
         "fixed_lag_cams": args.lag,
         "n_evict": args.n_evict,

@@ -462,22 +462,54 @@ def snapshot(ob: OnlineBA):
     )
 
 
-def frames_from_sim(sim):
+def frames_from_sim(sim, odometry_sigma=None, odometry_seed=1234):
     """Group a batch sim's observations into per-camera arrival-order frames
     in GLOBAL landmark ids and normalized coordinates.  The caller owns the
     global→online id remap (see `OnlineIds`): after `evict_frames`
     compacts the landmark block, any precomputed online ids go stale, so a
     fixed-lag stream MUST track ids frame by frame — the standard frontend
     bookkeeping (tests/test_online.py:184-209 is the reference loop).  Used
-    by the serving benchmark (bench/serving.py)."""
+    by the serving benchmark (bench/serving.py).
+
+    odometry_sigma=(rot, trans): additionally attach a noisy RELATIVE
+    camera motion `rel` = (R_rel, t_rel) per frame (world->cam convention:
+    T_i = rel ∘ T_{i-1}), synthesized from cam_truth — the odometry
+    measurement a tracking frontend provides.  Why it matters: the sim's
+    iid noise on the [omega, t] ABSOLUTE parameterization carries a lever
+    arm (|t| grows along the trajectory, so depth error ~ theta * |x|);
+    by frame ~80 of a corridor some arrivals put most of their own
+    landmarks behind the camera — no streaming window survives absolute
+    inits whose effective noise grows without bound, and no real frontend
+    produces them.  Odometry arrivals have lever arm ~ one step."""
     k = sim["k"]
     uv_n = np.stack([(sim["obs"][:, 0] - k[2]) / k[0],
                      (sim["obs"][:, 1] - k[3]) / k[1]], axis=1)
-    return [dict(cam=sim["cam_init"][c],
-                 lmk_global=sim["lmk_ids"][sel].astype(np.int64),
-                 obs_uv=uv_n[sel])
-            for c in range(sim["cam_init"].shape[0])
-            for sel in (np.flatnonzero(sim["cam_ids"] == c),)]
+    frames = [dict(cam=sim["cam_init"][c],
+                   lmk_global=sim["lmk_ids"][sel].astype(np.int64),
+                   obs_uv=uv_n[sel])
+              for c in range(sim["cam_init"].shape[0])
+              for sel in (np.flatnonzero(sim["cam_ids"] == c),)]
+    if odometry_sigma is not None:
+        rng = np.random.default_rng(odometry_seed)
+        sr, st = odometry_sigma
+        tru = np.asarray(sim["cam_truth"], np.float64)
+        for i, fr in enumerate(frames):
+            # Camera-FRAME positions of this frame's landmark inits (the
+            # triangulation stand-in: a tracking frontend knows landmarks
+            # relative to the camera that sees them; the relative distance
+            # is a few steps, so the error stays ~lmk_noise regardless of
+            # trajectory length — unlike any absolute-frame transform).
+            r_i = _so3_exp_np(tru[i][:3])
+            fr["lmk_cam"] = (sim["lmk_init"][fr["lmk_global"]] @ r_i.T
+                             + tru[i][3:])
+            if i == 0:
+                continue
+            r_prev = _so3_exp_np(tru[i - 1][:3])
+            r_rel = r_i @ r_prev.T
+            t_rel = tru[i][3:] - r_rel @ tru[i - 1][3:]
+            r_rel = _so3_exp_np(rng.normal(0.0, sr, 3)) @ r_rel
+            fr["rel"] = (r_rel, t_rel + rng.normal(0.0, st, 3))
+    return frames
 
 
 def _so3_exp_np(w):
@@ -512,33 +544,6 @@ def cheirality_ok(cam6, pts, min_frac=0.95, eps=0.05):
     return z.size == 0 or float((z > eps).mean()) >= min_frac
 
 
-def gauge_drift(prev_init6, prev_est6):
-    """Rigid world-frame drift D = (R_d, t_d) of the sliding window,
-    estimated from ONE camera's original init vs its current estimate
-    (world->cam convention, xc = R X + t: R_e (R_d X + t_d) + t_e =
-    R_i X + t_i).  A fixed-lag window is anchored only by its
-    marginalization priors, so its gauge random-walks in the absolute
-    frame; arrivals initialized (and priored) in the ORIGINAL frame fight
-    the drifted window and eventually diverge — the standard fixed-lag
-    frontend initializes arrivals relative to the current estimate."""
-    ri, ti = _so3_exp_np(prev_init6[:3]), np.asarray(prev_init6[3:])
-    re, te = _so3_exp_np(prev_est6[:3]), np.asarray(prev_est6[3:])
-    return re.T @ ri, re.T @ (ti - te)
-
-
-def apply_drift_cam(cam6, rd, td):
-    """Re-express a world->cam pose given in the original frame in the
-    window's drifted frame: R' = R R_d^T, t' = t - R' t_d."""
-    ra = _so3_exp_np(cam6[:3])
-    rp = ra @ rd.T
-    return np.concatenate([_so3_log_np(rp), np.asarray(cam6[3:]) - rp @ td])
-
-
-def apply_drift_lmk(pts, rd, td):
-    """Map original-frame landmark positions into the drifted frame."""
-    return pts @ rd.T + td
-
-
 class OnlineIds:
     """Host-side global→online landmark id map for a fixed-lag stream.
 
@@ -555,16 +560,18 @@ class OnlineIds:
     def shift(self, lmin: int):
         self._map = {g: i - lmin for g, i in self._map.items() if i >= lmin}
 
-    def resolve(self, lmk_global, n_lmks: int, lmk_init):
+    def resolve(self, lmk_global, n_lmks: int):
         """Map one frame's global ids to online ids, allocating fresh ids
         (starting at n_lmks) for unseen/evicted landmarks.  Returns
-        (online_ids [n_obs], new_lmk_positions [n_new, 3])."""
-        ids, new_lmks = [], []
-        for g in np.asarray(lmk_global):
+        (online_ids [n_obs], new_sel) where new_sel indexes the frame's
+        observation list at each first sighting — the caller supplies the
+        matching init positions (absolute inits or camera-frame
+        triangulations; see bench/serving.py)."""
+        ids, new_sel = [], []
+        for j, g in enumerate(np.asarray(lmk_global)):
             g = int(g)
             if g not in self._map:
-                self._map[g] = n_lmks + len(new_lmks)
-                new_lmks.append(lmk_init[g])
+                self._map[g] = n_lmks + len(new_sel)
+                new_sel.append(j)
             ids.append(self._map[g])
-        return (np.asarray(ids, np.int32),
-                np.asarray(new_lmks, np.float64).reshape(-1, 3))
+        return (np.asarray(ids, np.int32), np.asarray(new_sel, np.int64))

@@ -277,7 +277,7 @@ def test_serving_recipe_long_stream_stationary():
                        lmk_prior_prec=1000.0)
     cfg = GBPConfig(eta_damping=0.4, lam_damping=0.4, num_undamped_iters=0,
                     min_linear_iters=8)
-    step = _make_step(online, jax)
+    steps = _make_step(online, jax)
     ares = []
 
     def on_frame(i, ob):
@@ -286,7 +286,7 @@ def test_serving_recipe_long_stream_stationary():
             ob.graph, ob.state, px_scale=np.full((m, 2), f_px))))
 
     _stream(ob, frames, sim["lmk_init"], chunk, cfg, 10, 12, 4, online,
-            jnp, step, on_frame=on_frame)
+            jnp, steps, on_frame=on_frame)
     a = np.asarray(ares)
     assert np.isfinite(a).all(), a
     # Stationary: bounded median AND a non-degrading tail (transient
